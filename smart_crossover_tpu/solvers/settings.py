@@ -1,0 +1,29 @@
+"""Solver settings.
+
+Field-compatible with the reference's SolverSettings (reference
+caller.py:17-41) so call sites migrate unchanged, with extra knobs for the
+in-house first-order engines (which the reference had no need for — it
+delegated to Gurobi/CPLEX/Mosek).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class SolverSettings:
+    presolve: str = "on"
+    crossover: str = "on"
+    barrierTol: float = 1e-8
+    optimalityTol: float = 1e-6
+    timeLimit: int = 3600
+    log_file: str = ""
+    log_console: int = 1
+    iterLimit: int = 1000
+    simplexPricing: str = ""  # 'SE' steepest-edge-ish block pricing / 'PP' partial
+
+    # In-house engine knobs (no reference analog).
+    simplexMaxIters: int = 200_000
+    networkSimplexMaxIters: int = 10_000_000
+    firstOrderMaxIters: int = 100_000
+    sinkhornReg: float = 1e-2

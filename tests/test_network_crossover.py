@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from smart_crossover_tpu.models import MinCostFlow
+from smart_crossover_tpu.network_methods import network_crossover
+from smart_crossover_tpu.solvers.sinkhorn import sinkhorn
+from tests.conftest import random_ot
+
+
+def ot_optimum(ot):
+    mcf = ot.to_MCF()
+    res = linprog(mcf.c, A_eq=mcf.A.toarray(), b_eq=mcf.b,
+                  bounds=[(0, None)] * mcf.n, method="highs")
+    assert res.status == 0
+    return res.fun
+
+
+@pytest.mark.parametrize("method", ["tnet", "cnet_ot"])
+def test_ot_crossover_from_sinkhorn(rng, method):
+    ot = random_ot(rng, 10, 12)
+    x = sinkhorn(ot, reg=0.05, num_iters=300)
+    out = network_crossover(x=x, ot=ot, method=method)
+    assert out.status == "OPTIMAL"
+    assert out.obj_val == pytest.approx(ot_optimum(ot), rel=1e-8, abs=1e-8)
+    # solution is a vertex flow of the (possibly extended) problem
+    assert out.x is not None and np.all(np.asarray(out.x) >= -1e-9)
+
+
+def test_tnet_from_exact_interior_point(rng):
+    # with a very accurate interior flow, TNET should need few pivots
+    ot = random_ot(rng, 8, 8)
+    x = sinkhorn(ot, reg=0.005, num_iters=3000)
+    out = network_crossover(x=x, ot=ot, method="tnet")
+    assert out.status == "OPTIMAL"
+    assert out.obj_val == pytest.approx(ot_optimum(ot), rel=1e-8, abs=1e-8)
+
+
+def test_cnet_mcf_crossover(rng):
+    # capacitated random MCF; interior x from HiGHS interior point-ish:
+    # use the LP optimum + noise as the inaccurate flow
+    m, extra = 10, 25
+    tails = np.array(list(range(m - 1)) + list(rng.integers(0, m, extra)))
+    heads = np.array(list(range(1, m)) + list(rng.integers(0, m, extra)))
+    fix = tails == heads
+    heads[fix] = (heads[fix] + 1) % m
+    n = tails.size
+    b = rng.uniform(-1, 1, m)
+    b -= b.mean()
+    u = np.concatenate([np.full(m - 1, 50.0), rng.uniform(0.5, 2.0, extra)])
+    c = rng.uniform(0.5, 4.0, n)
+    mcf = MinCostFlow(tails=tails, heads=heads, c=c, u=u, b=b)
+    res = linprog(mcf.c, A_eq=mcf.A.toarray(), b_eq=mcf.b,
+                  bounds=[(0, ub) for ub in u], method="highs")
+    assert res.status == 0
+    x_noisy = np.clip(res.x + rng.uniform(-0.05, 0.05, n), 0, u)
+    out = network_crossover(x=x_noisy, mcf=mcf, method="cnet_mcf")
+    assert out.status == "OPTIMAL"
+    assert out.obj_val == pytest.approx(res.fun, rel=1e-8, abs=1e-8)
+
+
+def test_crossover_rejects_bad_method(rng):
+    ot = random_ot(rng, 3, 3)
+    with pytest.raises(ValueError):
+        network_crossover(x=np.zeros(9), ot=ot, method="nope")
+    with pytest.raises(ValueError):
+        network_crossover(x=np.zeros(9), method="tnet")
