@@ -1,0 +1,248 @@
+"""Mehrotra predictor-corrector interior-point method for LP.
+
+In-house replacement for the vendor barrier solves the reference delegates to
+(``method='barrier'`` through solver_caller; e.g. reference
+lp_methods/algorithms.py:38-40).  Solves
+
+    min c'x   s.t.  A x = b,   l <= x <= u
+
+with any mix of finite/infinite bounds and free variables, via normal
+equations ``A D A' dy = r`` factorised with sparse LU on the host in float64
+(the accuracy-critical path; the TPU carries the first-order engines).
+
+Returns a genuinely *interior* iterate (strictly inside the bounds wherever
+they are finite), which is what the crossover algorithms consume as x_bar.
+"""
+from __future__ import annotations
+
+import datetime
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+@dataclass
+class IPMResult:
+    x: np.ndarray
+    y: np.ndarray
+    zl: np.ndarray
+    zu: np.ndarray
+    obj_val: float
+    iter_count: int
+    status: str
+    runtime: datetime.timedelta
+
+
+def ipm_solve(A, b, c, l, u,
+              tol: float = 1e-8,
+              max_iter: int = 200,
+              verbose: bool = False) -> IPMResult:
+    """Solve the bounded-variable LP with Mehrotra predictor-corrector."""
+    t0 = time.perf_counter()
+    A = sp.csr_matrix(A).astype(np.float64)
+    m, n = A.shape
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+
+    # presolve: eliminate fixed columns (l == u) so slacks stay positive
+    fixed = np.isfinite(l) & np.isfinite(u) & (u - l <= 1e-14)
+    if np.any(fixed):
+        x_fix = l[fixed].copy()
+        keep = ~fixed
+        obj_shift = float(c[fixed] @ x_fix)
+        res = ipm_solve(A[:, keep], b - A[:, fixed] @ x_fix, c[keep],
+                        l[keep], u[keep], tol=tol, max_iter=max_iter,
+                        verbose=verbose)
+        x_full = np.empty(n)
+        x_full[keep] = res.x
+        x_full[fixed] = x_fix
+        zl_full = np.zeros(n)
+        zu_full = np.zeros(n)
+        zl_full[keep] = res.zl
+        zu_full[keep] = res.zu
+        return IPMResult(x=x_full, y=res.y, zl=zl_full, zu=zu_full,
+                         obj_val=res.obj_val + obj_shift,
+                         iter_count=res.iter_count, status=res.status,
+                         runtime=res.runtime)
+
+    has_l = np.isfinite(l)
+    has_u = np.isfinite(u)
+    free = ~has_l & ~has_u
+    # free variables make the scaling matrix singular; use the symmetric
+    # indefinite augmented KKT system instead of normal equations then
+    use_augmented = bool(np.any(free))
+
+    AT = A.T.tocsr()
+
+    # --- starting point -----------------------------------------------------
+    # For boxed variables the slack pair must satisfy p + q = u - l exactly;
+    # start at the midpoint.  One-sided slacks start at a comfortable 1.
+    x = np.zeros(n)
+    both = has_l & has_u
+    x[both] = 0.5 * (l[both] + u[both])
+    only_l = has_l & ~has_u
+    x[only_l] = l[only_l] + 1.0
+    only_u = has_u & ~has_l
+    x[only_u] = u[only_u] - 1.0
+
+    p = np.where(has_l, x - l, 1.0)   # slack to lower
+    q = np.where(has_u, u - x, 1.0)   # slack to upper
+    zl = np.where(has_l, 1.0 + np.abs(c), 0.0)
+    zu = np.where(has_u, 1.0 + np.abs(c), 0.0)
+    y = np.zeros(m)
+
+    bnorm = 1.0 + np.linalg.norm(b)
+    cnorm = 1.0 + np.linalg.norm(c)
+
+    status = "ITERATION_LIMIT"
+    it = 0
+    for it in range(1, max_iter + 1):
+        # recover x from slacks for residuals (keep x as primary where free)
+        x = np.where(has_l, l + p, np.where(has_u, u - q, x))
+
+        r_p = b - A @ x
+        r_d = c - AT @ y - zl + zu
+        n_comp = int(has_l.sum() + has_u.sum())
+        gap = (p @ zl + q @ zu) if n_comp else 0.0
+        mu = gap / max(n_comp, 1)
+
+        primal_inf = np.linalg.norm(r_p) / bnorm
+        dual_inf = np.linalg.norm(r_d) / cnorm
+        pobj = c @ x
+        dobj = float(b @ y + l[has_l] @ zl[has_l] - u[has_u] @ zu[has_u])
+        rel_gap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
+        if verbose:
+            print(f"ipm it={it} mu={mu:.2e} pinf={primal_inf:.2e} "
+                  f"dinf={dual_inf:.2e} gap={rel_gap:.2e}")
+        if primal_inf < tol and dual_inf < tol and rel_gap < tol:
+            status = "OPTIMAL"
+            break
+        if not np.isfinite(mu) or mu > 1e30 or primal_inf > 1e14:
+            status = "NUMERICAL_ERROR"
+            break
+        xscale = float(np.abs(x).max(initial=0.0))
+        if xscale > 1e12 and primal_inf < 1e-4:
+            status = "UNBOUNDED"   # primal iterates diverge while feasible
+            break
+        if np.abs(y).max(initial=0.0) > 1e12 and dual_inf < 1e-4:
+            status = "INFEASIBLE"  # dual iterates diverge while dual feasible
+            break
+
+        # scaling Dinv = Zl/P + Zu/Q (zero on free variables)
+        dinv = (np.where(has_l, zl / p, 0.0)
+                + np.where(has_u, zu / q, 0.0))
+
+        if use_augmented:
+            # K = [[-Dinv - dr, A'], [A, dp I]]  (quasi-definite regularised)
+            dr = 1e-10 * (1.0 + dinv.max(initial=0.0))
+            K = sp.bmat([[-sp.diags(dinv + dr), AT],
+                         [A, 1e-10 * sp.eye(m)]], format="csc")
+            lu = spla.splu(K, permc_spec="COLAMD")
+
+            def kkt_solve(rhs_x, rp):
+                sol = lu.solve(np.concatenate([rhs_x, rp]))
+                return sol[:n], sol[n:]
+        else:
+            d = 1.0 / np.maximum(dinv, 1e-14)
+            d = np.minimum(d, 1e14)
+            ADAt = (A @ sp.diags(d) @ AT).tocsc()
+            reg = 1e-12 * (1.0 + ADAt.diagonal().max())
+            try:
+                lu = spla.splu(ADAt + reg * sp.eye(m, format="csc"))
+            except RuntimeError:
+                lu = spla.splu(ADAt + 1e-6 * sp.eye(m, format="csc"))
+
+            def kkt_solve(rhs_x, rp):
+                rhs_y = rp + A @ (d * rhs_x)
+                dy = lu.solve(rhs_y)
+                dx = d * (AT @ dy - rhs_x)
+                return dx, dy
+
+        def solve_newton(rp, rd, rcl, rcu):
+            """Solve the reduced Newton system.
+
+            dx satisfies: A dx = rp;
+            dz from complementarity: P dzl + Zl dp = rcl, dp = dx;
+                                     Q dzu + Zu dq = rcu, dq = -dx.
+            Eliminating: A' dy - (Zl/P + Zu/Q) dx = rhs_x
+            """
+            rhs_x = rd - np.where(has_l, rcl / p, 0.0) \
+                       + np.where(has_u, rcu / q, 0.0)
+            dx, dy = kkt_solve(rhs_x, rp)
+            dzl = np.where(has_l, (rcl - zl * dx) / p, 0.0)
+            dzu = np.where(has_u, (rcu + zu * dx) / q, 0.0)
+            return dx, dy, dzl, dzu
+
+        # --- affine (predictor) step ---
+        rcl_aff = np.where(has_l, -p * zl, 0.0)
+        rcu_aff = np.where(has_u, -q * zu, 0.0)
+        dx_a, dy_a, dzl_a, dzu_a = solve_newton(r_p, r_d, rcl_aff, rcu_aff)
+
+        def max_step(v, dv, mask):
+            neg = mask & (dv < 0)
+            if not np.any(neg):
+                return 1.0
+            return min(1.0, float(np.min(-v[neg] / dv[neg])))
+
+        ap_aff = min(max_step(p, dx_a, has_l), max_step(q, -dx_a, has_u))
+        ad_aff = min(max_step(zl, dzl_a, has_l), max_step(zu, dzu_a, has_u))
+
+        gap_aff = ((p + ap_aff * np.where(has_l, dx_a, 0.0)) @
+                   (zl + ad_aff * dzl_a)
+                   + (q - ap_aff * np.where(has_u, dx_a, 0.0)) @
+                   (zu + ad_aff * dzu_a)) if n_comp else 0.0
+        sigma = (gap_aff / gap) ** 3 if gap > 0 else 0.0
+        sigma = min(max(sigma, 0.0), 1.0)
+
+        # --- corrector step ---
+        rcl = np.where(has_l, sigma * mu - p * zl
+                       - np.where(has_l, dx_a, 0.0) * dzl_a, 0.0)
+        rcu = np.where(has_u, sigma * mu - q * zu
+                       + np.where(has_u, dx_a, 0.0) * dzu_a, 0.0)
+        dx, dy, dzl, dzu = solve_newton(r_p, r_d, rcl, rcu)
+
+        ap = 0.9995 * min(max_step(p, dx, has_l), max_step(q, -dx, has_u))
+        ad = 0.9995 * min(max_step(zl, dzl, has_l), max_step(zu, dzu, has_u))
+        ap = min(ap, 1.0)
+        ad = min(ad, 1.0)
+
+        x = x + ap * dx
+        p = np.where(has_l, p + ap * dx, p)
+        q = np.where(has_u, q - ap * dx, q)
+        y = y + ad * dy
+        zl = zl + ad * dzl
+        zu = zu + ad * dzu
+        # keep strictly interior
+        p = np.where(has_l, np.maximum(p, 1e-14), p)
+        q = np.where(has_u, np.maximum(q, 1e-14), q)
+        zl = np.where(has_l, np.maximum(zl, 1e-14), 0.0)
+        zu = np.where(has_u, np.maximum(zu, 1e-14), 0.0)
+
+        if ap < 1e-10 and ad < 1e-10:
+            status = "STALLED"
+            break
+
+    x = np.where(has_l, l + p, np.where(has_u, u - q, x))
+    runtime = datetime.timedelta(seconds=time.perf_counter() - t0)
+    return IPMResult(x=x, y=y, zl=zl, zu=zu, obj_val=float(c @ x),
+                     iter_count=it, status=status, runtime=runtime)
+
+
+def ipm_general_lp(lp, tol: float = 1e-8, max_iter: int = 200) -> IPMResult:
+    """Barrier-solve a GeneralLP by slack augmentation; returns the result in
+    the ORIGINAL variable space (slacks stripped), with y over the rows."""
+    A_std = lp.get_standard_A()
+    c_std = lp.get_standard_c()
+    l_std, u_std = lp.get_standard_bounds()
+    res = ipm_solve(A_std, lp.b, c_std, l_std, u_std, tol=tol,
+                    max_iter=max_iter)
+    n = lp.n
+    return IPMResult(x=res.x[:n], y=res.y, zl=res.zl[:n], zu=res.zu[:n],
+                     obj_val=float(lp.c @ res.x[:n]),
+                     iter_count=res.iter_count, status=res.status,
+                     runtime=res.runtime)

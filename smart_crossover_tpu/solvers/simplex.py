@@ -1,0 +1,295 @@
+"""Bounded-variable revised primal simplex (host, float64).
+
+In-house replacement for the vendor simplex finishers the reference calls
+(``method='primal_simplex'/'simplex'`` through solver_caller, e.g. the final
+warm-started solve of the perturbation crossover, reference
+lp_methods/algorithms.py:69-74).  Capabilities:
+
+* general bounds (finite / infinite / free / fixed) on every column;
+* warm start from an arbitrary variable-status vector; the basis is repaired
+  into a nonsingular one via structural matching + numeric fallback, with
+  internal fixed-at-zero artificial columns always available;
+* composite phase-1 (minimise total bound violation) entered automatically
+  when the warm basis is primal infeasible — this doubles as the framework's
+  *crossover from an interior point* for general LP: classify variables at
+  bounds, propose the support as basic, let repair + phase-1/2 pivot to an
+  optimal vertex;
+* Dantzig pricing with a Bland's-rule fallback on long degenerate runs;
+  sparse LU refactorisation of the basis each pivot (robust; few-pivot
+  cleanups are the design point — the perturbation makes that true).
+"""
+from __future__ import annotations
+
+import datetime
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+from scipy.sparse.csgraph import maximum_bipartite_matching
+
+ST_BASIC = 0
+ST_LOWER = -1
+ST_UPPER = -2
+ST_FREE = -3  # superbasic / nonbasic free at current value (we pin to 0)
+
+
+@dataclass
+class SimplexResult:
+    x: np.ndarray
+    y: np.ndarray
+    obj_val: float
+    vstatus: np.ndarray          # statuses over the input columns
+    rcost: np.ndarray
+    iter_count: int
+    status: str
+    runtime: datetime.timedelta
+    row_basic: np.ndarray        # True where an artificial (row logical) is basic
+
+
+def primal_simplex(A, b, c, l, u,
+                   vstatus: np.ndarray | None = None,
+                   max_iter: int = 200_000,
+                   tol: float = 1e-9,
+                   feas_tol: float = 1e-9) -> SimplexResult:
+    """Solve  min c'x  s.t.  A x = b, l <= x <= u  from a warm status vector."""
+    t0 = time.perf_counter()
+    A = sp.csc_matrix(A).astype(np.float64)
+    m, n = A.shape
+    b = np.asarray(b, dtype=np.float64)
+    c0 = np.asarray(c, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+
+    # extended problem: artificial columns (identity), fixed at 0
+    Aext = sp.hstack([A, sp.eye(m, format="csc")]).tocsc()
+    next_l = np.concatenate([l, np.zeros(m)])
+    next_u = np.concatenate([u, np.zeros(m)])
+    cext = np.concatenate([c0, np.zeros(m)])
+    N = n + m
+
+    if vstatus is None:
+        st = np.full(N, ST_LOWER, dtype=np.int8)
+        st[~np.isfinite(next_l) & np.isfinite(next_u)] = ST_UPPER
+        st[~np.isfinite(next_l) & ~np.isfinite(next_u)] = ST_FREE
+        st[n:] = ST_BASIC  # all-artificial start
+    else:
+        st = np.full(N, ST_LOWER, dtype=np.int8)
+        st[:n] = np.asarray(vstatus, dtype=np.int8)
+        # sanitise: at-upper without finite upper -> free or lower
+        bad_up = (st[:n] == ST_UPPER) & ~np.isfinite(u)
+        st[:n][bad_up] = np.where(np.isfinite(l[bad_up]), ST_LOWER, ST_FREE)
+        bad_lo = (st[:n] == ST_LOWER) & ~np.isfinite(l)
+        st[:n][bad_lo] = np.where(np.isfinite(u[bad_lo]), ST_UPPER, ST_FREE)
+
+    basic = _repair_basis(Aext, np.where(st == ST_BASIC)[0], m, n)
+    st[st == ST_BASIC] = ST_LOWER  # demoted candidates fall to a bound
+    demoted = (st == ST_LOWER) & ~np.isfinite(next_l)
+    st[demoted & np.isfinite(next_u)] = ST_UPPER
+    st[demoted & ~np.isfinite(next_u)] = ST_FREE
+    st[basic] = ST_BASIC
+
+    # nonbasic values
+    def nonbasic_values(st):
+        xv = np.zeros(N)
+        at_l = st == ST_LOWER
+        at_u = st == ST_UPPER
+        xv[at_l] = next_l[at_l]
+        xv[at_u] = next_u[at_u]
+        return xv  # ST_FREE pinned at 0
+
+    x = nonbasic_values(st)
+
+    def factorize(basic):
+        B = Aext[:, basic].tocsc()
+        return spla.splu(B, permc_spec="COLAMD")
+
+    lu = factorize(basic)
+    rhs = b - Aext[:, np.where(st != ST_BASIC)[0]] @ x[st != ST_BASIC]
+    x[basic] = lu.solve(rhs)
+
+    fixed_cols = np.isfinite(next_l) & np.isfinite(next_u) & (next_l == next_u)
+
+    it = 0
+    degen_run = 0
+    phase = 1
+    result_status = "OPTIMAL"
+
+    while True:
+        if it >= max_iter:
+            result_status = "ITERATION_LIMIT"
+            break
+        xb = x[basic]
+        lb = next_l[basic]
+        ub = next_u[basic]
+        below = xb < lb - feas_tol
+        above = xb > ub + feas_tol
+        infeas = (np.where(below, lb - xb, 0.0)
+                  + np.where(above, xb - ub, 0.0)).sum()
+
+        if infeas > feas_tol:
+            phase = 1
+            cb = np.where(below, -1.0, np.where(above, 1.0, 0.0))
+        else:
+            phase = 2
+            cb = cext[basic]
+
+        y = lu.solve(cb, trans="T")
+        rc = (cext if phase == 2 else np.zeros(N)) - Aext.T @ y
+        rc[basic] = 0.0
+
+        at_l = st == ST_LOWER
+        at_u = st == ST_UPPER
+        at_f = st == ST_FREE
+        viol = np.where(at_l & (rc < -tol), -rc, 0.0)
+        viol += np.where(at_u & (rc > tol), rc, 0.0)
+        viol += np.where(at_f, np.abs(rc) * (np.abs(rc) > tol), 0.0)
+        viol[fixed_cols] = 0.0  # l == u: a bound flip can never improve
+
+        if degen_run > m + 200:
+            cand = np.nonzero(viol > 0)[0]
+            e = int(cand[0]) if cand.size else -1
+        else:
+            e = int(np.argmax(viol))
+            if viol[e] <= 0:
+                e = -1
+        if e < 0:
+            if phase == 1:
+                result_status = "INFEASIBLE"
+            break
+        it += 1
+
+        # direction: entering variable moves up (+1) from lower/free with
+        # rc < 0, down (-1) from upper/free with rc > 0
+        if st[e] == ST_LOWER or (st[e] == ST_FREE and rc[e] < 0):
+            d_e = 1.0
+        else:
+            d_e = -1.0
+
+        # basic direction: B dxB = -A_e * d_e
+        a_e = np.asarray(Aext[:, e].todense()).ravel()
+        dxb = lu.solve(-a_e * d_e)
+
+        # ratio test (phase-1 aware: infeasible basics block at the bound
+        # they are approaching, feasible basics at their usual bounds)
+        theta = np.inf
+        leave_pos = -1
+        leave_to = ST_LOWER
+        # entering variable's own range
+        e_range = next_u[e] - next_l[e]
+        if np.isfinite(e_range):
+            theta = e_range
+            leave_to = ST_UPPER if d_e > 0 else ST_LOWER
+        for k in np.nonzero(np.abs(dxb) > 1e-11)[0]:
+            dk = dxb[k]
+            xk, lk, uk = xb[k], lb[k], ub[k]
+            if dk > 0:
+                if xk < lk - feas_tol:
+                    bound, to = lk, ST_LOWER   # rising toward its lower bound
+                elif xk > uk + feas_tol:
+                    continue                    # above upper, rising: no block
+                elif np.isfinite(uk):
+                    bound, to = uk, ST_UPPER
+                else:
+                    continue
+            else:
+                if xk > uk + feas_tol:
+                    bound, to = uk, ST_UPPER   # falling toward its upper bound
+                elif xk < lk - feas_tol:
+                    continue                    # below lower, falling: no block
+                elif np.isfinite(lk):
+                    bound, to = lk, ST_LOWER
+                else:
+                    continue
+            t = max((bound - xk) / dk, 0.0)
+            if t < theta - 1e-12:
+                theta = t
+                leave_pos = k
+                leave_to = to
+        if not np.isfinite(theta):
+            result_status = "UNBOUNDED" if phase == 2 else "INFEASIBLE"
+            break
+        theta = max(theta, 0.0)
+        degen_run = degen_run + 1 if theta <= 1e-12 else 0
+
+        # apply step
+        x[e] += d_e * theta
+        x[basic] = xb + theta * dxb
+
+        if leave_pos < 0:
+            st[e] = leave_to  # bound flip
+        else:
+            leaving = basic[leave_pos]
+            st[e] = ST_BASIC
+            st[leaving] = leave_to
+            x[leaving] = next_l[leaving] if leave_to == ST_LOWER else next_u[leaving]
+            if not np.isfinite(x[leaving]):
+                x[leaving] = 0.0
+                st[leaving] = ST_FREE
+            basic[leave_pos] = e
+            try:
+                lu = factorize(basic)
+            except RuntimeError:
+                # singular after swap: undo, demote entering to bound
+                basic[leave_pos] = leaving
+                st[leaving] = ST_BASIC
+                st[e] = ST_LOWER if np.isfinite(next_l[e]) else ST_FREE
+                x[e] = next_l[e] if np.isfinite(next_l[e]) else 0.0
+                lu = factorize(basic)
+            # recompute basic values for numerical hygiene
+            nb = st != ST_BASIC
+            x[basic] = lu.solve(b - Aext[:, np.where(nb)[0]] @ x[nb])
+
+    # final duals / reduced costs w.r.t. the REAL objective
+    y = lu.solve(cext[basic], trans="T")
+    rc_full = cext - Aext.T @ y
+    obj = float(cext @ x)
+
+    vstatus_out = st[:n].copy()
+    row_basic = np.zeros(m, dtype=bool)
+    art_basic = basic[basic >= n] - n
+    row_basic[art_basic] = True
+
+    runtime = datetime.timedelta(seconds=time.perf_counter() - t0)
+    return SimplexResult(x=x[:n], y=y, obj_val=obj,
+                         vstatus=vstatus_out, rcost=rc_full[:n],
+                         iter_count=it, status=result_status,
+                         runtime=runtime, row_basic=row_basic)
+
+
+def _repair_basis(Aext: sp.csc_matrix, candidates: np.ndarray, m: int, n: int
+                  ) -> np.ndarray:
+    """Build a nonsingular m-column basis preferring ``candidates``.
+
+    Structural maximum matching selects an independent-looking subset; rows
+    left unmatched get their artificial column.  A numeric LU check guards
+    against structurally-fine-but-numerically-singular picks, falling back to
+    the all-artificial basis (phase 1 then repairs feasibility).
+    """
+    candidates = np.asarray(candidates, dtype=np.int64)
+    if candidates.size:
+        sub = Aext[:, candidates].tocsc()
+        match = maximum_bipartite_matching(sub, perm_type="row")
+        # match[j] = row matched to candidate column j (or -1)
+        chosen = candidates[match >= 0]
+        matched_rows = match[match >= 0]
+    else:
+        chosen = np.array([], dtype=np.int64)
+        matched_rows = np.array([], dtype=np.int64)
+    row_cover = np.zeros(m, dtype=bool)
+    row_cover[matched_rows] = True
+    fill = np.where(~row_cover)[0] + n
+    basic = np.concatenate([chosen, fill]).astype(np.int64)
+    assert basic.size == m
+    try:
+        lu = spla.splu(Aext[:, basic].tocsc(), permc_spec="COLAMD")
+        # numeric sanity: solve against a random rhs and check residual
+        rng = np.random.default_rng(0)
+        t = rng.standard_normal(m)
+        res = Aext[:, basic] @ lu.solve(t) - t
+        if np.linalg.norm(res) <= 1e-6 * (1.0 + np.linalg.norm(t)):
+            return basic
+    except RuntimeError:
+        pass
+    return np.arange(n, n + m, dtype=np.int64)  # all-artificial fallback

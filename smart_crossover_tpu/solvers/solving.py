@@ -1,0 +1,255 @@
+"""Solver facade: solve_lp / solve_mcf / solve_ot.
+
+Drop-in capability replacement for the reference's solver_caller layer
+(reference solver_caller/solving.py:13-133 plus the Gurobi/CPLEX/Mosek
+adapters): same entry points, same method names, same warm-start plumbing and
+Output contract — but every method dispatches to the in-house engines:
+
+* 'barrier'            -> Mehrotra IPM (+ simplex crossover when
+                          settings.crossover == 'on', like vendor barrier)
+* 'simplex' / 'primal_simplex' / 'dual_simplex' / 'default'
+                       -> bounded-variable revised primal simplex
+                          (dual simplex is not separately implemented; the
+                          primal engine with phase-1 covers its use cases)
+* 'network_simplex'    -> warm-started network simplex (MCF/OT)
+* 'sinkhorn'           -> entropic first-order plan (OT only)
+
+The 'GRB'/'CPL'/'MSK' solver names are accepted for migration compatibility
+and all map to the in-house backend.
+"""
+from __future__ import annotations
+
+import datetime
+import logging
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from smart_crossover_tpu.models import (
+    Basis,
+    GeneralLP,
+    MinCostFlow,
+    OptTransport,
+    Output,
+    StandardLP,
+)
+from smart_crossover_tpu.solvers.ipm import ipm_general_lp, ipm_solve
+from smart_crossover_tpu.solvers.network_simplex import network_simplex
+from smart_crossover_tpu.solvers.settings import SolverSettings
+from smart_crossover_tpu.solvers.simplex import (
+    ST_BASIC,
+    ST_FREE,
+    ST_LOWER,
+    ST_UPPER,
+    primal_simplex,
+)
+
+logger = logging.getLogger(__name__)
+
+_KNOWN_BACKENDS = ("JAX", "TPU", "GRB", "CPL", "MSK")
+
+
+def _check_backend(solver: str) -> None:
+    if solver not in _KNOWN_BACKENDS:
+        raise ValueError(
+            f"Unknown solver {solver!r}; choose from {_KNOWN_BACKENDS} "
+            "(all names dispatch to the in-house TPU/JAX backend).")
+
+
+def _as_general(lp: Union[GeneralLP, StandardLP]) -> GeneralLP:
+    if isinstance(lp, GeneralLP):
+        return lp
+    if isinstance(lp, StandardLP):
+        return lp.to_general()
+    raise ValueError("Invalid LP format: expected GeneralLP or StandardLP.")
+
+
+# --------------------------------------------------------------------------
+# basis <-> simplex status conversion (standard slack-augmented space)
+# --------------------------------------------------------------------------
+def _basis_to_vstatus(lp: GeneralLP, basis: Basis) -> np.ndarray:
+    le_rows = np.where(lp.sense == "<")[0]
+    vst = np.empty(lp.n + le_rows.size, dtype=np.int8)
+    vst[:lp.n] = basis.vbasis
+    # slack of row i: basic iff cbasis[i] == 0, else at lower (row tight)
+    vst[lp.n:] = np.where(basis.cbasis[le_rows] == 0, ST_BASIC, ST_LOWER)
+    return vst
+
+
+def _vstatus_to_basis(lp: GeneralLP, vstatus: np.ndarray,
+                      row_basic: np.ndarray) -> Basis:
+    le_rows = np.where(lp.sense == "<")[0]
+    vbasis = vstatus[:lp.n].astype(np.int32)
+    cbasis = np.full(lp.m, -1, dtype=np.int32)
+    cbasis[le_rows[vstatus[lp.n:] == ST_BASIC]] = 0
+    cbasis[row_basic] = 0  # artificial (logical) basic on this row
+    return Basis(vbasis, cbasis)
+
+
+def _crossover_statuses(x, l, u, ctol: float = 1e-7) -> np.ndarray:
+    """Classify an interior solution into simplex statuses (the in-house
+    analog of a vendor barrier crossover start): variables hugging a bound
+    become nonbasic at that bound, everything else is proposed basic and the
+    simplex basis repair + phase-1/2 finishes the job."""
+    st = np.full(x.size, ST_BASIC, dtype=np.int8)
+    dl = x - l
+    du = u - x
+    near = ctol * (1.0 + np.abs(x))
+    at_l = np.isfinite(l) & (dl <= du) & (dl < near)
+    at_u = np.isfinite(u) & (du < dl) & (du < near)
+    st[at_l] = ST_LOWER
+    st[at_u] = ST_UPPER
+    st[~np.isfinite(l) & ~np.isfinite(u)] = ST_BASIC
+    return st
+
+
+# --------------------------------------------------------------------------
+# LP solve
+# --------------------------------------------------------------------------
+def solve_lp(lp: Union[GeneralLP, StandardLP],
+             solver: str = "JAX",
+             method: str = "default",
+             settings: SolverSettings | None = None,
+             warm_start_basis: Optional[Basis] = None,
+             warm_start_solution: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+             ) -> Output:
+    """Solve an LP (signature parity with reference solving.py:71-94)."""
+    _check_backend(solver)
+    if settings is None:
+        settings = SolverSettings()
+    glp = _as_general(lp)
+
+    if method == "barrier":
+        return _solve_lp_barrier(glp, settings, warm_start_solution)
+    if method in ("default", "simplex", "primal_simplex", "dual_simplex"):
+        return _solve_lp_simplex(glp, settings, warm_start_basis,
+                                 warm_start_solution)
+    raise ValueError(
+        "Invalid method. Choose from 'default', 'barrier', 'simplex', "
+        "'primal_simplex', 'dual_simplex', 'network_simplex'.")
+
+
+def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
+                      warm_start_solution=None) -> Output:
+    res = ipm_general_lp(glp, tol=settings.barrierTol)
+    if res.status != "OPTIMAL":
+        return Output(runtime=res.runtime, status=res.status,
+                      bar_iter_count=res.iter_count)
+    x_bar = res.x
+    if settings.crossover != "on":
+        rcost = glp.get_dual_slack(res.y)
+        return Output(x=x_bar, y=res.y, x_bar=x_bar, obj_val=res.obj_val,
+                      runtime=res.runtime, iter_count=0,
+                      bar_iter_count=res.iter_count, rcost=rcost,
+                      status="OPTIMAL")
+
+    # crossover: classify the interior point, then simplex-clean to a vertex
+    A_std = glp.get_standard_A()
+    c_std = glp.get_standard_c()
+    l_std, u_std = glp.get_standard_bounds()
+    x_std = glp.get_standard_x(x_bar)
+    vst = _crossover_statuses(x_std, l_std, u_std)
+    sres = primal_simplex(A_std, glp.b, c_std, l_std, u_std, vstatus=vst,
+                          max_iter=settings.simplexMaxIters,
+                          tol=settings.optimalityTol)
+    basis = _vstatus_to_basis(glp, sres.vstatus, sres.row_basic)
+    runtime = res.runtime + sres.runtime
+    if sres.status != "OPTIMAL":
+        return Output(runtime=runtime, status=sres.status,
+                      bar_iter_count=res.iter_count, iter_count=sres.iter_count)
+    return Output(x=sres.x[:glp.n], y=sres.y, x_bar=x_bar,
+                  obj_val=float(glp.c @ sres.x[:glp.n]),
+                  runtime=runtime, iter_count=sres.iter_count,
+                  bar_iter_count=res.iter_count, rcost=sres.rcost[:glp.n],
+                  basis=basis, status="OPTIMAL")
+
+
+def _solve_lp_simplex(glp: GeneralLP, settings: SolverSettings,
+                      warm_start_basis: Optional[Basis],
+                      warm_start_solution) -> Output:
+    A_std = glp.get_standard_A()
+    c_std = glp.get_standard_c()
+    l_std, u_std = glp.get_standard_bounds()
+    vst = None
+    if warm_start_basis is not None:
+        vst = _basis_to_vstatus(glp, warm_start_basis)
+    elif warm_start_solution is not None:
+        x0 = np.asarray(warm_start_solution[0])
+        vst = _crossover_statuses(glp.get_standard_x(x0), l_std, u_std)
+    sres = primal_simplex(A_std, glp.b, c_std, l_std, u_std, vstatus=vst,
+                          max_iter=settings.simplexMaxIters,
+                          tol=settings.optimalityTol)
+    basis = _vstatus_to_basis(glp, sres.vstatus, sres.row_basic)
+    if sres.status != "OPTIMAL":
+        return Output(runtime=sres.runtime, status=sres.status,
+                      iter_count=sres.iter_count)
+    return Output(x=sres.x[:glp.n], y=sres.y,
+                  obj_val=float(glp.c @ sres.x[:glp.n]),
+                  runtime=sres.runtime, iter_count=sres.iter_count,
+                  rcost=sres.rcost[:glp.n], basis=basis, status="OPTIMAL")
+
+
+# --------------------------------------------------------------------------
+# MCF / OT solve
+# --------------------------------------------------------------------------
+def solve_mcf(mcf: MinCostFlow,
+              solver: str = "JAX",
+              method: str = "default",
+              settings: SolverSettings | None = None,
+              warm_start_basis: Optional[Basis] = None) -> Output:
+    """Solve a min-cost-flow problem (parity with reference solving.py:97-113)."""
+    _check_backend(solver)
+    if settings is None:
+        settings = SolverSettings()
+    if method in ("default", "network_simplex", "simplex", "primal_simplex",
+                  "dual_simplex"):
+        res = network_simplex(mcf, warm_basis=warm_start_basis,
+                              max_iter=settings.networkSimplexMaxIters)
+        if res.status != "OPTIMAL":
+            return Output(runtime=res.runtime, status=res.status,
+                          iter_count=res.iter_count)
+        return Output(x=res.x, y=res.y, obj_val=res.obj_val,
+                      runtime=res.runtime, iter_count=res.iter_count,
+                      rcost=res.rcost, basis=res.basis, status=res.status)
+    if method == "barrier":
+        l = np.zeros(mcf.n)
+        res = ipm_solve(mcf.A, mcf.b, mcf.c, l, mcf.u,
+                        tol=settings.barrierTol)
+        out_interior = Output(x=res.x, y=res.y, x_bar=res.x,
+                              obj_val=res.obj_val, runtime=res.runtime,
+                              bar_iter_count=res.iter_count,
+                              status=res.status)
+        if settings.crossover != "on" or res.status != "OPTIMAL":
+            return out_interior
+        ns = network_simplex(mcf, max_iter=settings.networkSimplexMaxIters)
+        return Output(x=ns.x, y=ns.y, x_bar=res.x, obj_val=ns.obj_val,
+                      runtime=res.runtime + ns.runtime,
+                      iter_count=ns.iter_count,
+                      bar_iter_count=res.iter_count, rcost=ns.rcost,
+                      basis=ns.basis, status=ns.status)
+    raise ValueError(f"Invalid method {method!r} for MCF.")
+
+
+def solve_ot(ot: OptTransport,
+             solver: str = "JAX",
+             method: str = "default",
+             settings: SolverSettings | None = None,
+             warm_start_basis: Optional[Basis] = None) -> Output:
+    """Solve an optimal transport problem (parity with solving.py:116-133)."""
+    _check_backend(solver)
+    if settings is None:
+        settings = SolverSettings()
+    if method == "sinkhorn":
+        import time
+
+        from smart_crossover_tpu.solvers.sinkhorn import sinkhorn
+
+        t0 = time.perf_counter()
+        x = sinkhorn(ot, reg=settings.sinkhornReg,
+                     num_iters=settings.firstOrderMaxIters)
+        rt = datetime.timedelta(seconds=time.perf_counter() - t0)
+        return Output(x=x, x_bar=x, obj_val=float(ot.M.ravel() @ x),
+                      runtime=rt, status="OPTIMAL",
+                      bar_iter_count=settings.firstOrderMaxIters)
+    return solve_mcf(ot.to_MCF(), solver=solver, method=method,
+                     settings=settings, warm_start_basis=warm_start_basis)

@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from smart_crossover_tpu.models import GeneralLP
+from smart_crossover_tpu.solvers.ipm import ipm_general_lp, ipm_solve
+
+
+def highs_opt(A, b, c, l, u):
+    bounds = [(lo if np.isfinite(lo) else None, up if np.isfinite(up) else None)
+              for lo, up in zip(l, u)]
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=bounds, method="highs")
+    assert ref.status == 0
+    return ref
+
+
+def test_ipm_simple_box():
+    A = np.array([[1.0, 1.0]])
+    b = [1.5]
+    c = [-1.0, -2.0]
+    l, u = np.zeros(2), np.ones(2)
+    res = ipm_solve(A, b, c, l, u)
+    assert res.status == "OPTIMAL"
+    ref = highs_opt(A, b, c, l, u)
+    assert res.obj_val == pytest.approx(ref.fun, abs=1e-7)
+    # iterate strictly interior
+    assert np.all(res.x > l) and np.all(res.x < u)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ipm_random_lps(seed):
+    rng = np.random.default_rng(seed)
+    m, n = 10, 25
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    l, u = np.zeros(n), np.ones(n)
+    res = ipm_solve(A, b, c, l, u)
+    ref = highs_opt(A, b, c, l, u)
+    assert res.status == "OPTIMAL"
+    assert res.obj_val == pytest.approx(ref.fun, abs=1e-6, rel=1e-8)
+    np.testing.assert_allclose(A @ res.x, b, atol=1e-6)
+
+
+def test_ipm_one_sided_and_free(seed=4):
+    rng = np.random.default_rng(seed)
+    m, n = 6, 14
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(-0.3, 0.7, n)
+    l = np.full(n, 0.0)
+    u = np.full(n, np.inf)
+    l[0], u[0] = -np.inf, np.inf      # free var
+    l[1] = -np.inf                    # upper-bounded only
+    u[1] = 2.0
+    # construct a dual-feasible cost so the LP is bounded:
+    # c = A'y0 + zl - zu with zl, zu >= 0 matched to the bound pattern
+    y0 = rng.standard_normal(m)
+    zl0 = np.abs(rng.standard_normal(n)) + 0.1
+    zl0[0] = 0.0                      # free var: no bound multipliers
+    zu0 = np.zeros(n)
+    zl0[1], zu0[1] = 0.0, np.abs(rng.standard_normal()) + 0.1
+    c = A.T @ y0 + zl0 - zu0
+    res = ipm_solve(A, b, c, l, u)
+    ref = highs_opt(A, b, c, l, u)
+    assert res.status == "OPTIMAL"
+    assert res.obj_val == pytest.approx(ref.fun, abs=1e-5, rel=1e-7)
+
+
+def test_ipm_general_lp_with_ineq(rng):
+    # GeneralLP with '<' rows goes through slack augmentation
+    m, n = 5, 10
+    A = rng.standard_normal((m, n))
+    x0 = rng.uniform(0.2, 0.8, n)
+    b = A @ x0 + np.array([0.0, 0.1, 0.0, 0.2, 0.0])
+    sense = np.array(["=", "<", "=", "<", "="])
+    lp = GeneralLP(A=A, b=b, c=rng.standard_normal(n), l=np.zeros(n),
+                   u=np.ones(n), sense=sense)
+    res = ipm_general_lp(lp)
+    assert res.status == "OPTIMAL"
+    # oracle via explicit slack form
+    A_std = lp.get_standard_A().toarray()
+    c_std = lp.get_standard_c()
+    l_std, u_std = lp.get_standard_bounds()
+    ref = highs_opt(A_std, lp.b, c_std, l_std, u_std)
+    assert res.obj_val == pytest.approx(ref.fun, abs=1e-6, rel=1e-8)
+    assert res.x.size == n
+
+
+def test_ipm_detects_unbounded():
+    A = np.array([[1.0, -1.0]])
+    res = ipm_solve(A, [0.0], [-1.0, 0.0], np.zeros(2), np.full(2, np.inf))
+    assert res.status in ("UNBOUNDED", "NUMERICAL_ERROR", "ITERATION_LIMIT")
+    assert res.status != "OPTIMAL"
+
+
+def test_ipm_dual_solution_quality(rng):
+    m, n = 8, 18
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    # bounded by construction: c dual-feasible
+    c = A.T @ rng.standard_normal(m) + np.abs(rng.standard_normal(n)) + 0.05
+    l, u = np.zeros(n), np.full(n, np.inf)
+    res = ipm_solve(A, b, c, l, u)
+    assert res.status == "OPTIMAL"
+    # dual feasibility: c - A'y - zl + zu ~ 0, zl >= 0
+    rd = c - A.T @ res.y - res.zl + res.zu
+    assert np.linalg.norm(rd) < 1e-6
+    assert np.all(res.zl >= 0)

@@ -1,0 +1,112 @@
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from smart_crossover_tpu.models import GeneralLP, StandardLP
+from smart_crossover_tpu.solvers.settings import SolverSettings
+from smart_crossover_tpu.solvers.solving import solve_lp, solve_mcf, solve_ot
+from tests.conftest import random_ot
+
+
+def make_lp(rng, m=6, n=15):
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    return GeneralLP(A=A, b=b, c=c, l=np.zeros(n), u=np.ones(n),
+                     sense=np.full(m, "="))
+
+
+def highs(lp):
+    res = linprog(lp.c, A_eq=np.asarray(lp.A), b_eq=lp.b,
+                  bounds=[(lo, up) for lo, up in zip(lp.l, lp.u)],
+                  method="highs")
+    assert res.status == 0
+    return res
+
+
+def test_solve_lp_simplex_and_barrier_agree(rng):
+    lp = make_lp(rng)
+    ref = highs(lp)
+    out_s = solve_lp(lp, method="simplex")
+    out_b = solve_lp(lp, method="barrier")
+    assert out_s.status == out_b.status == "OPTIMAL"
+    assert out_s.obj_val == pytest.approx(ref.fun, abs=1e-7)
+    assert out_b.obj_val == pytest.approx(ref.fun, abs=1e-6)
+    # barrier with crossover returns both a vertex and the interior point
+    assert out_b.basis is not None and out_b.x_bar is not None
+    assert out_b.bar_iter_count > 0
+
+
+def test_solve_lp_barrier_no_crossover(rng):
+    lp = make_lp(rng)
+    out = solve_lp(lp, method="barrier",
+                   settings=SolverSettings(crossover="off"))
+    assert out.status == "OPTIMAL"
+    assert out.basis is None
+    # interior point: strictly inside bounds
+    assert np.all(out.x > lp.l) and np.all(out.x < lp.u)
+
+
+def test_solve_lp_warm_start_basis(rng):
+    lp = make_lp(rng)
+    cold = solve_lp(lp, method="simplex")
+    warm = solve_lp(lp, method="primal_simplex",
+                    warm_start_basis=cold.basis)
+    assert warm.status == "OPTIMAL"
+    assert warm.iter_count <= 1
+    assert warm.obj_val == pytest.approx(cold.obj_val, abs=1e-9)
+
+
+def test_solve_standard_lp(rng):
+    n = 10
+    A = np.abs(rng.standard_normal((4, n))) + 0.1
+    x0 = rng.uniform(0.1, 0.9, n)
+    b = A @ x0
+    lp = StandardLP(A=A, b=b, c=rng.standard_normal(n), u=np.ones(n))
+    out = solve_lp(lp, method="simplex")
+    ref = linprog(lp.c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert out.status == "OPTIMAL"
+    assert out.obj_val == pytest.approx(ref.fun, abs=1e-7)
+
+
+def test_solve_mcf_and_ot(rng):
+    ot = random_ot(rng, 6, 7)
+    mcf = ot.to_MCF()
+    out_ns = solve_mcf(mcf, method="network_simplex")
+    out_ot = solve_ot(ot, method="default")
+    assert out_ns.status == out_ot.status == "OPTIMAL"
+    assert out_ns.obj_val == pytest.approx(out_ot.obj_val, abs=1e-9)
+    ref = linprog(mcf.c, A_eq=mcf.A.toarray(), b_eq=mcf.b,
+                  bounds=[(0, None)] * mcf.n, method="highs")
+    assert out_ns.obj_val == pytest.approx(ref.fun, abs=1e-8)
+
+
+def test_solve_mcf_barrier_gives_interior(rng):
+    ot = random_ot(rng, 5, 5)
+    mcf = ot.to_MCF()
+    out = solve_mcf(mcf, method="barrier",
+                    settings=SolverSettings(crossover="off", barrierTol=1e-8))
+    assert out.status == "OPTIMAL"
+    assert out.x_bar is not None
+    np.testing.assert_allclose(mcf.A @ out.x_bar, mcf.b, atol=1e-6)
+
+
+def test_solve_ot_sinkhorn_method(rng):
+    ot = random_ot(rng, 6, 6)
+    out = solve_ot(ot, method="sinkhorn",
+                   settings=SolverSettings(sinkhornReg=0.01,
+                                           firstOrderMaxIters=500))
+    assert out.x is not None
+    X = out.x.reshape(6, 6)
+    np.testing.assert_allclose(X.sum(axis=1), ot.s, atol=1e-6)
+
+
+def test_bad_backend_and_method(rng):
+    lp = make_lp(rng)
+    with pytest.raises(ValueError):
+        solve_lp(lp, solver="NOPE")
+    with pytest.raises(ValueError):
+        solve_lp(lp, method="quantum")
+    # vendor names map to the in-house backend for migration compatibility
+    out = solve_lp(lp, solver="GRB", method="simplex")
+    assert out.status == "OPTIMAL"
