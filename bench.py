@@ -1,0 +1,147 @@
+"""Benchmark: batched OT crossover throughput on the current device.
+
+Runs the flagship batched TNET pipeline (Sinkhorn warm start -> flow
+indicators -> Borůvka MST -> tree solve -> irrigation push, all on device)
+over a batch of MNIST-scale OT instances and reports instances/s/chip.
+
+Baseline: the same algorithm implemented the way the reference implements it
+(scipy sparse MST + spsolve + sequential numpy push; reference tree_BI.py),
+timed on the host CPU for a subsample and scaled.
+
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_batch(B, S, D, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    s = rng.uniform(0.5, 2.0, (B, S)).astype(dtype)
+    d = rng.uniform(0.5, 2.0, (B, D)).astype(dtype)
+    d *= (s.sum(axis=1) / d.sum(axis=1))[:, None]
+    # MNIST-like ground cost: L1 distances on a pixel grid
+    side_s = int(np.sqrt(S))
+    side_d = int(np.sqrt(D))
+    xs = np.stack(np.unravel_index(np.arange(S), (side_s, S // side_s)), -1)
+    xd = np.stack(np.unravel_index(np.arange(D), (side_d, D // side_d)), -1)
+    M0 = np.abs(xs[:, None, :] - xd[None, :, :]).sum(-1).astype(dtype)
+    M = M0[None, :, :] + rng.uniform(0, 0.1, (B, S, D)).astype(dtype)
+    return s, d, M
+
+
+def cpu_reference_pipeline(s, d, M, reg=0.05, sinkhorn_iters=200):
+    """Reference-style host implementation (scipy MST + spsolve + python
+    push loop), one instance at a time."""
+    import scipy.sparse as sp
+
+    S, D = M.shape
+    eps = reg * M.max()
+    # numpy log-domain sinkhorn
+    f = np.zeros(S)
+    g = np.zeros(D)
+    logs, logd = np.log(s), np.log(d)
+    for _ in range(sinkhorn_iters):
+        t = (g[None, :] - M) / eps
+        f = eps * (logs - (t.max(1) + np.log(
+            np.exp(t - t.max(1)[:, None]).sum(1))))
+        t2 = (f[:, None] - M) / eps
+        g = eps * (logd - (t2.max(0) + np.log(
+            np.exp(t2 - t2.max(0)[None, :]).sum(0))))
+    X = np.exp((f[:, None] + g[None, :] - M) / eps)
+    W = np.maximum(X / s[:, None], X / d[None, :])
+    # scipy MST (reference tree_BI.py:32-59 structure)
+    V = S + D
+    row = np.repeat(np.arange(S), D)
+    col = S + np.tile(np.arange(D), S)
+    gmat = sp.coo_matrix((-W.ravel() - 1e-9, (row, col)), shape=(V, V))
+    tree = sp.csgraph.minimum_spanning_tree(gmat)
+    ti, tj = tree.nonzero()
+    mask = np.zeros((S, D), dtype=bool)
+    mask[ti, tj - S] = True
+    # tree solve via spsolve on the (V-1)x(V-1) basis (reference :74-76)
+    cols = np.flatnonzero(mask.ravel())
+    rows_A = np.concatenate([cols // D, S + cols % D])
+    cols_A = np.concatenate([np.arange(cols.size), np.arange(cols.size)])
+    data_A = np.concatenate([-np.ones(cols.size), np.ones(cols.size)])
+    A = sp.csc_matrix((data_A, (rows_A, cols_A)), shape=(V, cols.size))
+    bb = np.concatenate([-s, d])
+    sol = sp.linalg.spsolve(A[:-1, :], bb[:-1])
+    Xt = np.zeros(S * D)
+    Xt[cols] = sol
+    Xt = Xt.reshape(S, D)
+    # sequential push (reference :85-110)
+    it = 0
+    while Xt.min() < 0 and it < 100000:
+        I1, J1 = np.unravel_index(np.argmin(Xt), Xt.shape)
+        J2 = np.argmax(Xt[I1, :])
+        I2 = np.argmax(Xt[:, J1])
+        theta = min(-Xt[I1, J1], Xt[I1, J2], Xt[I2, J1])
+        Xt[I1, J1] += theta
+        Xt[I2, J1] -= theta
+        Xt[I1, J2] -= theta
+        Xt[I2, J2] += theta
+        it += 1
+    return Xt
+
+
+def main():
+    import jax
+
+    from smart_crossover_tpu.parallel.batched import batched_tnet
+
+    backend = jax.default_backend()
+    B, S, D = (64, 256, 256) if backend == "tpu" else (8, 64, 64)
+    reg, iters = 0.05, 200
+    s, d, M = make_batch(B, S, D)
+
+    # compile + warmup
+    X, pit, obj = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
+    jax.block_until_ready(obj)
+    # timed runs
+    reps = 3
+    t0 = time.perf_counter()
+    for r in range(reps):
+        X, pit, obj = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
+        jax.block_until_ready(obj)
+    dt = (time.perf_counter() - t0) / reps
+    inst_per_sec = B / dt
+
+    # sanity: feasible vertices
+    Xn = np.asarray(X, dtype=np.float64)
+    feas = (np.abs(Xn.sum(2) - s).max() < 1e-3
+            and np.abs(Xn.sum(1) - d).max() < 1e-3
+            and Xn.min() > -1e-6)
+
+    # CPU reference baseline on a subsample
+    nb = 2
+    t0 = time.perf_counter()
+    for i in range(nb):
+        cpu_reference_pipeline(s[i].astype(np.float64),
+                               d[i].astype(np.float64),
+                               M[i].astype(np.float64),
+                               reg=reg, sinkhorn_iters=iters)
+    cpu_dt = (time.perf_counter() - t0) / nb
+    cpu_inst_per_sec = 1.0 / cpu_dt
+
+    print(json.dumps({
+        "metric": "batched_ot_tnet_crossover_throughput",
+        "value": round(inst_per_sec, 3),
+        "unit": "instances/s/chip",
+        "vs_baseline": round(inst_per_sec / cpu_inst_per_sec, 3),
+        "detail": {
+            "backend": backend,
+            "batch": B, "S": S, "D": D,
+            "sinkhorn_iters": iters,
+            "cpu_reference_instances_per_sec": round(cpu_inst_per_sec, 4),
+            "feasible_vertices": bool(feas),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,409 @@
+// Warm-startable primal network simplex — native core.
+//
+// Same algorithm as the numpy implementation in
+// smart_crossover_tpu/solvers/network_simplex.py (which doubles as its test
+// oracle), with the classic efficiency upgrades: block Dantzig pricing and
+// O(|subtree|) basis updates using children adjacency + the constant-delta
+// potential shift of the cut subtree.
+//
+// C ABI (ctypes):
+//   scx_network_simplex(...) -> status  0=OPTIMAL 1=INFEASIBLE 2=UNBOUNDED
+//                                       3=ITER_LIMIT 4=ERROR
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <limits>
+
+namespace {
+
+using i64 = int64_t;
+using i32 = int32_t;
+
+constexpr double INF = std::numeric_limits<double>::infinity();
+
+enum Status : int8_t { BASIC = 0, AT_LOWER = -1, AT_UPPER = -2 };
+
+struct Solver {
+  i64 m, n, ntot;
+  i32 root;
+  double tol;
+  std::vector<i64> tails, heads;
+  std::vector<double> cost, cap, b;
+  std::vector<double> x;
+  std::vector<int8_t> st;
+  // tree
+  std::vector<i64> parent, parent_arc;
+  std::vector<i64> depth;
+  std::vector<double> y;
+  // children adjacency as first-child / next-sibling
+  std::vector<i64> first_child, next_sib, prev_sib;  // node lists
+
+  void child_link(i64 p, i64 c) {
+    next_sib[c] = first_child[p];
+    prev_sib[c] = -1;
+    if (first_child[p] >= 0) prev_sib[first_child[p]] = c;
+    first_child[p] = c;
+  }
+  void child_unlink(i64 p, i64 c) {
+    if (prev_sib[c] >= 0) next_sib[prev_sib[c]] = next_sib[c];
+    else first_child[p] = next_sib[c];
+    if (next_sib[c] >= 0) prev_sib[next_sib[c]] = prev_sib[c];
+    next_sib[c] = prev_sib[c] = -1;
+  }
+
+  // ---- union-find for warm-start forest ----
+  std::vector<i64> uf;
+  i64 find(i64 a) {
+    while (uf[a] != a) { uf[a] = uf[uf[a]]; a = uf[a]; }
+    return a;
+  }
+
+  // Build spanning tree from st[]==BASIC arcs, complete with artificials,
+  // compute tree flows; returns false if a tree arc violates its bounds.
+  bool rebuild_tree() {
+    uf.assign(m, 0);
+    for (i64 v = 0; v < m; ++v) uf[v] = v;
+    std::vector<std::vector<std::pair<i64, i64>>> adj(m);  // (nbr, arc)
+    for (i64 a = 0; a < ntot; ++a) {
+      if (st[a] != BASIC) continue;
+      i64 t = tails[a], h = heads[a];
+      i64 rt = find(t), rh = find(h);
+      if (rt == rh) { st[a] = AT_LOWER; x[a] = 0.0; continue; }
+      uf[rt] = rh;
+      adj[t].push_back({h, a});
+      adj[h].push_back({t, a});
+    }
+    i64 rroot = find(root);
+    for (i64 v = 0; v < m; ++v) {
+      if (find(v) != rroot) {
+        i64 a = n + 2 * v;  // v -> root artificial
+        st[a] = BASIC;
+        uf[find(v)] = rroot;
+        adj[v].push_back({root, a});
+        adj[root].push_back({v, a});
+      }
+    }
+    // BFS from root
+    std::vector<i64> order;
+    order.reserve(m);
+    std::vector<char> seen(m, 0);
+    parent.assign(m, -1);
+    parent_arc.assign(m, -1);
+    depth.assign(m, 0);
+    std::fill(first_child.begin(), first_child.end(), -1);
+    std::fill(next_sib.begin(), next_sib.end(), -1);
+    std::fill(prev_sib.begin(), prev_sib.end(), -1);
+    order.push_back(root);
+    seen[root] = 1;
+    for (size_t qi = 0; qi < order.size(); ++qi) {
+      i64 v = order[qi];
+      for (auto [w, a] : adj[v]) {
+        if (!seen[w]) {
+          seen[w] = 1;
+          parent[w] = v;
+          parent_arc[w] = a;
+          depth[w] = depth[v] + 1;
+          child_link(v, w);
+          order.push_back(w);
+        }
+      }
+    }
+    if ((i64)order.size() != m) return false;  // should not happen
+
+    // residuals r = b - N x_nonbasic
+    std::vector<double> r(b.begin(), b.end());
+    for (i64 a = 0; a < n; ++a) {
+      if (st[a] == AT_UPPER) {
+        r[tails[a]] += x[a];
+        r[heads[a]] -= x[a];
+      }
+    }
+    // reverse-BFS accumulation
+    bool ok = true;
+    for (i64 idx = m - 1; idx >= 1; --idx) {
+      i64 v = order[idx];
+      i64 p = parent[v];
+      i64 a = parent_arc[v];
+      if (heads[a] == v) x[a] = r[v];
+      else x[a] = -r[v];
+      r[p] += r[v];
+    }
+    // flip negative artificials to the opposite orientation
+    for (i64 v = 0; v < m; ++v) {
+      if (v == root) continue;
+      i64 a = parent_arc[v];
+      if (a >= n && x[a] < 0) {
+        i64 base = (a - n) / 2;
+        i64 other = n + 2 * base + (1 - (a - n) % 2);
+        double xa = -x[a];
+        st[a] = AT_LOWER;
+        x[a] = 0.0;
+        st[other] = BASIC;
+        x[other] = xa;
+        parent_arc[v] = other;
+        a = other;
+      }
+      if (x[a] < -tol || x[a] > cap[a] + tol) ok = false;
+    }
+    return ok;
+  }
+
+  void repair_infeasible() {
+    for (i64 round = 0; round < m + n; ++round) {
+      bool bad = false;
+      for (i64 v = 0; v < m; ++v) {
+        if (v == root) continue;
+        i64 a = parent_arc[v];
+        if (a < n && (x[a] < -tol || x[a] > cap[a] + tol)) {
+          if (x[a] > cap[a] + tol) { st[a] = AT_UPPER; x[a] = cap[a]; }
+          else { st[a] = AT_LOWER; x[a] = 0.0; }
+          bad = true;
+        }
+      }
+      if (!bad) return;
+      if (rebuild_tree()) return;
+    }
+  }
+
+  void compute_potentials() {
+    // preorder via explicit stack from root using children lists
+    y[root] = 0.0;
+    std::vector<i64> stack = {root};
+    while (!stack.empty()) {
+      i64 v = stack.back();
+      stack.pop_back();
+      for (i64 c = first_child[v]; c >= 0; c = next_sib[c]) {
+        i64 a = parent_arc[c];
+        y[c] = (heads[a] == c) ? y[v] + cost[a] : y[v] - cost[a];
+        depth[c] = depth[v] + 1;
+        stack.push_back(c);
+      }
+    }
+  }
+
+  int run(i64 max_iter, i64 *iters_out) {
+    i64 it = 0;
+    i64 degen_run = 0;
+    i64 block_start = 0;
+    const i64 block = std::max<i64>(64, (i64)(std::sqrt((double)ntot) * 4));
+    int result = 0;  // OPTIMAL
+    std::vector<i64> cyc_arcs;
+    std::vector<int> cyc_dir;
+    cyc_arcs.reserve(256);
+    cyc_dir.reserve(256);
+
+    while (true) {
+      if (it >= max_iter) { result = 3; break; }
+      // ---- pricing: block Dantzig over arc blocks ----
+      i64 e = -1;
+      double best = tol;
+      bool bland = degen_run > 2 * m + 50;
+      if (bland) {
+        for (i64 a = 0; a < ntot; ++a) {
+          double rc = cost[a] - y[heads[a]] + y[tails[a]];
+          if ((st[a] == AT_LOWER && rc < -tol) ||
+              (st[a] == AT_UPPER && rc > tol)) { e = a; break; }
+        }
+      } else {
+        i64 scanned = 0;
+        i64 pos = block_start;
+        while (scanned < ntot) {
+          i64 end = std::min(pos + block, ntot);
+          for (i64 a = pos; a < end; ++a) {
+            double rc = cost[a] - y[heads[a]] + y[tails[a]];
+            double v = 0.0;
+            if (st[a] == AT_LOWER && rc < -tol) v = -rc;
+            else if (st[a] == AT_UPPER && rc > tol) v = rc;
+            if (v > best) { best = v; e = a; }
+          }
+          scanned += end - pos;
+          pos = (end >= ntot) ? 0 : end;
+          if (e >= 0) { block_start = pos; break; }
+        }
+      }
+      if (e < 0) break;  // optimal
+      ++it;
+      int dir = (st[e] == AT_LOWER) ? 1 : -1;
+
+      // ---- cycle via parent walks ----
+      cyc_arcs.clear();
+      cyc_dir.clear();
+      i64 va = tails[e], vb = heads[e];
+      // record which side each arc is on by walking to equal depth then up
+      // head-side arcs first (traversal v->parent), then tail-side
+      std::vector<i64> tpath, hpath;
+      while (va != vb) {
+        if (depth[va] >= depth[vb]) { tpath.push_back(va); va = parent[va]; }
+        else { hpath.push_back(vb); vb = parent[vb]; }
+      }
+      for (i64 v : hpath) {
+        i64 a = parent_arc[v];
+        int d = (tails[a] == v) ? 1 : -1;
+        cyc_arcs.push_back(a);
+        cyc_dir.push_back(d * dir);
+      }
+      for (i64 v : tpath) {
+        i64 a = parent_arc[v];
+        int d = (heads[a] == v) ? 1 : -1;
+        cyc_arcs.push_back(a);
+        cyc_dir.push_back(d * dir);
+      }
+
+      // ---- ratio test ----
+      double theta = std::isfinite(cap[e]) ? cap[e] : INF;
+      i64 leaving = e;
+      int8_t leave_to = (dir == 1) ? AT_UPPER : AT_LOWER;
+      for (size_t k = 0; k < cyc_arcs.size(); ++k) {
+        i64 a = cyc_arcs[k];
+        double room = (cyc_dir[k] == 1) ? cap[a] - x[a] : x[a];
+        if (room < theta - 1e-15) {
+          theta = room;
+          leaving = a;
+          leave_to = (cyc_dir[k] == 1) ? AT_UPPER : AT_LOWER;
+        }
+      }
+      if (!std::isfinite(theta)) { result = 2; break; }  // UNBOUNDED
+      if (theta < 0) theta = 0;
+      degen_run = (theta <= tol) ? degen_run + 1 : 0;
+
+      x[e] += dir * theta;
+      for (size_t k = 0; k < cyc_arcs.size(); ++k)
+        x[cyc_arcs[k]] += cyc_dir[k] * theta;
+
+      if (leaving == e) { st[e] = leave_to; continue; }
+
+      // ---- basis exchange ----
+      st[e] = BASIC;
+      st[leaving] = leave_to;
+      x[leaving] = (leave_to == AT_UPPER) ? cap[leaving] : 0.0;
+
+      i64 lt = tails[leaving], lh = heads[leaving];
+      i64 child = (parent_arc[lt] == leaving) ? lt : lh;
+      // which endpoint of e is inside the cut subtree? walk up to root/child
+      i64 et = tails[e], eh = heads[e];
+      i64 join = -1;
+      for (i64 v = et; v >= 0; v = parent[v]) {
+        if (v == child) { join = et; break; }
+      }
+      if (join < 0) join = eh;
+      i64 out_end = et + eh - join;
+
+      // reverse parent pointers along join -> ... -> child
+      i64 prev = out_end, prev_arc = e;
+      i64 v = join;
+      while (true) {
+        i64 nxt = parent[v];
+        i64 nxt_arc = parent_arc[v];
+        // unlink v from old parent, link to new
+        if (nxt >= 0) child_unlink(nxt, v);
+        parent[v] = prev;
+        parent_arc[v] = prev_arc;
+        child_link(prev, v);
+        if (v == child) break;
+        // v's old parent becomes its child in the reversed orientation:
+        prev = v;
+        prev_arc = nxt_arc;
+        v = nxt;
+      }
+
+      // potential shift: all nodes of the cut subtree move by a constant
+      // delta = rc_e oriented so the entering arc's rc becomes 0.
+      // Entering arc connects out_end (potential unchanged) and join (inside
+      // the cut subtree); shift the whole subtree by the constant delta that
+      // zeroes the entering arc's reduced cost.
+      double rc_e = cost[e] - y[heads[e]] + y[tails[e]];
+      double delta = (join == heads[e]) ? rc_e : -rc_e;
+      // DFS the cut subtree (rooted at join now) applying delta + depth fix
+      std::vector<i64> stack = {join};
+      depth[join] = depth[out_end] + 1;
+      while (!stack.empty()) {
+        i64 w = stack.back();
+        stack.pop_back();
+        y[w] += delta;
+        for (i64 c = first_child[w]; c >= 0; c = next_sib[c]) {
+          depth[c] = depth[w] + 1;
+          stack.push_back(c);
+        }
+      }
+      // NOTE: the DFS applies delta to `join`'s subtree in the NEW tree,
+      // which is exactly the cut component.
+    }
+    *iters_out = it;
+    return result;
+  }
+};
+
+}  // namespace
+
+extern "C" int scx_network_simplex(
+    i64 m, i64 n,
+    const i64 *tails, const i64 *heads,
+    const double *cost, const double *cap, const double *b,
+    const i32 *warm_vbasis, i32 root,
+    i64 max_iter, double tol,
+    double *x_out, double *y_out, i32 *vbasis_out, i64 *iters_out) {
+  Solver S;
+  S.m = m;
+  S.n = n;
+  S.ntot = n + 2 * m;
+  S.root = (root >= 0 && root < m) ? root : (i32)(m - 1);
+  S.tol = tol;
+  double cmax = 1.0;
+  for (i64 a = 0; a < n; ++a) cmax = std::max(cmax, std::fabs(cost[a]));
+  const double BIG = (cmax + 1.0) * (double)m;
+
+  S.tails.assign(S.ntot, 0);
+  S.heads.assign(S.ntot, 0);
+  S.cost.assign(S.ntot, BIG);
+  S.cap.assign(S.ntot, INF);
+  std::memcpy(S.tails.data(), tails, n * sizeof(i64));
+  std::memcpy(S.heads.data(), heads, n * sizeof(i64));
+  for (i64 a = 0; a < n; ++a) { S.cost[a] = cost[a]; S.cap[a] = cap[a]; }
+  for (i64 v = 0; v < m; ++v) {
+    S.tails[n + 2 * v] = v;       S.heads[n + 2 * v] = S.root;
+    S.tails[n + 2 * v + 1] = S.root; S.heads[n + 2 * v + 1] = v;
+  }
+  S.b.assign(b, b + m);
+  S.x.assign(S.ntot, 0.0);
+  S.st.assign(S.ntot, AT_LOWER);
+  if (warm_vbasis) {
+    for (i64 a = 0; a < n; ++a) {
+      if (warm_vbasis[a] == 0) S.st[a] = BASIC;
+      else if (warm_vbasis[a] == -2 && std::isfinite(cap[a])) {
+        S.st[a] = AT_UPPER;
+        S.x[a] = cap[a];
+      }
+    }
+  }
+  S.parent.assign(m, -1);
+  S.parent_arc.assign(m, -1);
+  S.depth.assign(m, 0);
+  S.y.assign(m, 0.0);
+  S.first_child.assign(m, -1);
+  S.next_sib.assign(m, -1);
+  S.prev_sib.assign(m, -1);
+
+  if (!S.rebuild_tree()) S.repair_infeasible();
+  S.compute_potentials();
+
+  i64 iters = 0;
+  int result = S.run(max_iter, &iters);
+
+  // INFEASIBLE if artificial flow remains
+  if (result == 0) {
+    double art = 0.0;
+    for (i64 a = n; a < S.ntot; ++a) art += std::fabs(S.x[a]);
+    if (art > std::max(tol * m, 1e-6)) result = 1;
+  }
+  std::memcpy(x_out, S.x.data(), n * sizeof(double));
+  std::memcpy(y_out, S.y.data(), m * sizeof(double));
+  for (i64 a = 0; a < n; ++a) {
+    if (S.st[a] == BASIC) vbasis_out[a] = 0;
+    else if (S.st[a] == AT_UPPER) vbasis_out[a] = -2;
+    else vbasis_out[a] = -1;
+  }
+  *iters_out = iters;
+  return result;
+}

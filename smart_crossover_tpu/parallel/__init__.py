@@ -1,0 +1,25 @@
+from smart_crossover_tpu.parallel.batched import (
+    batched_tnet,
+    sharded_batched_tnet,
+    tnet_single,
+)
+from smart_crossover_tpu.parallel.mesh import (
+    BATCH_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+)
+from smart_crossover_tpu.parallel.projector import (
+    sharded_projector,
+    sharded_sinkhorn_plan,
+)
+
+__all__ = [
+    "make_mesh",
+    "BATCH_AXIS",
+    "MODEL_AXIS",
+    "batched_tnet",
+    "sharded_batched_tnet",
+    "tnet_single",
+    "sharded_projector",
+    "sharded_sinkhorn_plan",
+]

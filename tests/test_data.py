@@ -1,0 +1,151 @@
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from smart_crossover_tpu.data import (
+    ResultStore,
+    images_to_ot,
+    mnist_like_ot_suite,
+    read_dimacs_min,
+    read_mps,
+    synthetic_digits,
+)
+
+MPS_SAMPLE = """\
+NAME          testlp
+ROWS
+ N  COST
+ L  LIM1
+ G  LIM2
+ E  MYEQN
+COLUMNS
+    X1        COST         1.0   LIM1         1.0
+    X1        LIM2         1.0
+    X2        COST         2.0   LIM1         1.0
+    X2        MYEQN       -1.0
+    X3        COST        -1.0   MYEQN        1.0
+RHS
+    RHS       LIM1         4.0   LIM2         1.0
+    RHS       MYEQN        7.0
+BOUNDS
+ UP BND       X1           4.0
+ LO BND       X2          -1.0
+ENDATA
+"""
+
+
+def test_mps_reader(tmp_path):
+    p = tmp_path / "test.mps"
+    p.write_text(MPS_SAMPLE)
+    lp = read_mps(p)
+    assert lp.n == 3 and lp.m == 3
+    # G row negated to '<'
+    assert set(lp.sense) <= {"=", "<"}
+    np.testing.assert_allclose(lp.c, [1.0, 2.0, -1.0])
+    np.testing.assert_allclose(lp.u, [4.0, np.inf, np.inf])
+    np.testing.assert_allclose(lp.l, [0.0, -1.0, 0.0])
+    # solve and compare to the classic testprob optimum (x=(4,-1,6), obj=54/..)
+    A = np.asarray(lp.A.todense())
+    eq = lp.sense == "="
+    res = linprog(lp.c, A_eq=A[eq], b_eq=lp.b[eq], A_ub=A[~eq], b_ub=lp.b[~eq],
+                  bounds=[(lo if np.isfinite(lo) else None,
+                           up if np.isfinite(up) else None)
+                          for lo, up in zip(lp.l, lp.u)], method="highs")
+    assert res.status == 0
+    # known optimum of this classic MPS example: x = (1, -1, 6), obj = -7
+    assert res.fun == pytest.approx(-7.0)
+
+
+def test_mps_ranges(tmp_path):
+    mps = """\
+NAME r
+ROWS
+ N obj
+ L r1
+COLUMNS
+    x obj 1.0 r1 1.0
+RHS
+    rhs r1 5.0
+RANGES
+    rng r1 2.0
+ENDATA
+"""
+    p = tmp_path / "r.mps"
+    p.write_text(mps)
+    lp = read_mps(p)
+    # ranged L row -> 3 <= x <= 5 -> two '<' rows
+    assert lp.m == 2
+    A = np.asarray(lp.A.todense())
+    hi = lp.b[(A[:, 0] > 0)][0]
+    lo = -lp.b[(A[:, 0] < 0)][0]
+    assert (lo, hi) == (3.0, 5.0)
+
+
+DIMACS_SAMPLE = """\
+c tiny mcf
+p min 3 3
+n 1 2
+n 3 -2
+a 1 2 0 3 1
+a 2 3 0 3 1
+a 1 3 0 3 5
+"""
+
+
+def test_dimacs_reader(tmp_path):
+    p = tmp_path / "tiny.min"
+    p.write_text(DIMACS_SAMPLE)
+    mcf = read_dimacs_min(p)
+    assert mcf.m == 3 and mcf.n == 3
+    np.testing.assert_allclose(mcf.b, [-2.0, 0.0, 2.0])
+    from smart_crossover_tpu.solvers.network_simplex import network_simplex
+
+    res = network_simplex(mcf, use_native=False)
+    assert res.status == "OPTIMAL"
+    np.testing.assert_allclose(res.x, [2.0, 2.0, 0.0], atol=1e-9)
+
+
+def test_dimacs_lower_bound_shift(tmp_path):
+    p = tmp_path / "lb.min"
+    p.write_text("""\
+p min 2 1
+n 1 1
+n 2 -1
+a 1 2 1 4 2
+""")
+    mcf = read_dimacs_min(p)
+    # lower bound 1 shifted out: b adjusted, cap 3
+    np.testing.assert_allclose(mcf.u, [3.0])
+    np.testing.assert_allclose(mcf.b, [0.0, 0.0])
+
+
+def test_ot_generation():
+    imgs = synthetic_digits(4, side=12, seed=1)
+    assert imgs.shape == (4, 12, 12)
+    ot = images_to_ot(imgs[0], imgs[1])
+    assert ot.s.sum() == pytest.approx(1.0)
+    assert ot.d.sum() == pytest.approx(1.0)
+    assert np.all(ot.s > 0) and np.all(ot.d > 0)
+    assert ot.M.shape == (ot.s.size, ot.d.size)
+    # deterministic
+    imgs2 = synthetic_digits(4, side=12, seed=1)
+    np.testing.assert_array_equal(imgs, imgs2)
+
+
+def test_mnist_like_suite_shapes():
+    suite = mnist_like_ot_suite(num_pairs=3, side=10)
+    assert len(suite) == 3
+    for ot in suite:
+        assert abs(ot.s.sum() - ot.d.sum()) < 1e-9
+
+
+def test_result_store_resume(tmp_path):
+    store = ResultStore(tmp_path / "res" / "out.jsonl")
+    store.record("inst1", "tnet", runtime=1.5, obj_val=2.0)
+    store.record("inst2", "tnet", runtime=2.5, obj_val=3.0)
+    store.record("inst1", "cnet", runtime=0.5, obj_val=2.0)
+    assert store.solved("tnet") == {"inst1", "inst2"}
+    assert store.solved("cnet") == {"inst1"}
+    assert store.is_solved("inst1") and not store.is_solved("inst9")
+    rows = list(store.rows())
+    assert len(rows) == 3 and rows[0]["runtime"] == 1.5

@@ -1,0 +1,77 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smart_crossover_tpu.parallel import (
+    batched_tnet,
+    make_mesh,
+    sharded_batched_tnet,
+    sharded_projector,
+    sharded_sinkhorn_plan,
+)
+from smart_crossover_tpu.solvers.projection import apply_projector_jax
+from tests.conftest import random_ot
+
+
+def make_batch(rng, B=4, S=12, D=16):
+    s = rng.uniform(0.5, 2.0, (B, S))
+    d = rng.uniform(0.5, 2.0, (B, D))
+    d *= (s.sum(axis=1) / d.sum(axis=1))[:, None]
+    M = rng.uniform(0.0, 5.0, (B, S, D))
+    return s, d, M
+
+
+def test_batched_tnet_feasible_vertices(rng):
+    s, d, M = make_batch(rng)
+    X, iters, obj = batched_tnet(s, d, M, reg=0.05, sinkhorn_iters=200)
+    X = np.asarray(X)
+    np.testing.assert_allclose(X.sum(axis=2), s, atol=1e-7)
+    np.testing.assert_allclose(X.sum(axis=1), d, atol=1e-7)
+    assert np.all(X >= -1e-9)
+    # vertex support: at most S + D - 1 nonzeros per instance
+    for b in range(X.shape[0]):
+        assert (X[b] > 1e-10).sum() <= 12 + 16 - 1
+    # objective sane: between LP optimum and a crude upper bound
+    np.testing.assert_allclose(np.asarray(obj),
+                               (X * M).sum(axis=(1, 2)), rtol=1e-10)
+
+
+def test_sharded_batched_tnet_matches_unsharded(rng):
+    assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"
+    s, d, M = make_batch(rng, B=8)
+    mesh = make_mesh(n_batch=8, n_model=1)
+    Xs, iters_s, obj_s = sharded_batched_tnet(mesh, s, d, M, reg=0.05,
+                                              sinkhorn_iters=100)
+    Xu, iters_u, obj_u = batched_tnet(s, d, M, reg=0.05, sinkhorn_iters=100)
+    np.testing.assert_allclose(np.asarray(obj_s), np.asarray(obj_u),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(Xs), np.asarray(Xu), atol=1e-9)
+
+
+def test_sharded_projector_matches_single_device(rng):
+    mesh = make_mesh(n_batch=1, n_model=8)
+    m, n = 24, 64
+    Y = rng.standard_normal((m, n))
+    v = rng.standard_normal(n)
+    got = np.asarray(sharded_projector(mesh, Y, v))
+    want = np.asarray(apply_projector_jax(Y, v))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    # result is in the null space of Y
+    assert np.linalg.norm(Y @ got) < 1e-7 * (1 + np.linalg.norm(got))
+
+
+def test_sharded_sinkhorn_matches_reference(rng):
+    from smart_crossover_tpu.solvers.sinkhorn import (
+        plan_from_potentials,
+        sinkhorn_potentials,
+    )
+
+    mesh = make_mesh(n_batch=1, n_model=8)
+    ot = random_ot(rng, 10, 16)
+    eps = 0.05 * ot.M.max()
+    Xs = np.asarray(sharded_sinkhorn_plan(mesh, ot.s, ot.d, ot.M, eps,
+                                          num_iters=300))
+    f, g = sinkhorn_potentials(ot.s, ot.d, ot.M, eps, num_iters=300)
+    Xr = np.asarray(plan_from_potentials(f, g, ot.M, eps))
+    np.testing.assert_allclose(Xs, Xr, atol=1e-9)

@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from smart_crossover_tpu.models import GeneralLP
+from smart_crossover_tpu.solvers.pdhg import pdhg_general_lp, pdhg_solve
+
+
+def test_pdhg_simple_box():
+    A = np.array([[1.0, 1.0]])
+    res = pdhg_solve(A, [1.5], [-1.0, -2.0], np.zeros(2), np.ones(2),
+                     tol=1e-7, max_iters=50_000)
+    assert res.status == "OPTIMAL"
+    assert res.obj_val == pytest.approx(-2.5, abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pdhg_random_eq_lps(seed):
+    rng = np.random.default_rng(seed)
+    m, n = 8, 20
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    res = pdhg_solve(A, b, c, np.zeros(n), np.ones(n),
+                     tol=1e-7, max_iters=200_000)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert ref.status == 0
+    assert res.status == "OPTIMAL"
+    assert res.obj_val == pytest.approx(ref.fun, abs=1e-4)
+    assert res.primal_residual < 1e-6
+
+
+def test_pdhg_inequalities(rng):
+    m, n = 6, 14
+    A = rng.standard_normal((m, n))
+    x0 = rng.uniform(0.2, 0.8, n)
+    slack = np.where(rng.uniform(size=m) < 0.5, 0.3, 0.0)
+    b = A @ x0 + slack
+    sense = np.where(slack > 0, "<", "=")
+    c = rng.standard_normal(n)
+    lp = GeneralLP(A=A, b=b, c=c, l=np.zeros(n), u=np.ones(n), sense=sense)
+    res = pdhg_general_lp(lp, tol=1e-7, max_iters=200_000)
+    eq = sense == "="
+    ref = linprog(c, A_eq=A[eq], b_eq=b[eq], A_ub=A[~eq], b_ub=b[~eq],
+                  bounds=[(0, 1)] * n, method="highs")
+    assert ref.status == 0
+    assert res.status == "OPTIMAL"
+    assert res.obj_val == pytest.approx(ref.fun, abs=1e-4)
+    # dual sign convention: y <= 0 on '<' rows
+    assert np.all(res.y[~eq] <= 1e-9)
+
+
+def test_pdhg_warm_start_converges_faster(rng):
+    m, n = 8, 20
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    cold = pdhg_solve(A, b, c, np.zeros(n), np.ones(n), tol=1e-7,
+                      max_iters=200_000)
+    warm = pdhg_solve(A, b, c, np.zeros(n), np.ones(n), tol=1e-7,
+                      max_iters=200_000, x0=cold.x, y0=cold.y)
+    assert warm.status == "OPTIMAL"
+    assert warm.iter_count <= cold.iter_count
