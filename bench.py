@@ -100,15 +100,18 @@ def main():
     s, d, M = make_batch(B, S, D)
 
     # compile + warmup
-    X, pit, obj = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
-    jax.block_until_ready(obj)
-    # timed runs
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        X, pit, obj = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
-        jax.block_until_ready(obj)
-    dt = (time.perf_counter() - t0) / reps
+    out = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
+    jax.block_until_ready(out)
+    # timed runs; min over reps is robust to the tunneled-device dispatch
+    # noise of this environment
+    times = []
+    for r in range(5):
+        t0 = time.perf_counter()
+        out = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    X, pit, obj = out
     inst_per_sec = B / dt
 
     # sanity: feasible vertices
