@@ -1,5 +1,6 @@
 from smart_crossover_tpu.parallel.batched import (
     batched_tnet,
+    batched_tnet_exact,
     sharded_batched_tnet,
     tnet_single,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "BATCH_AXIS",
     "MODEL_AXIS",
     "batched_tnet",
+    "batched_tnet_exact",
     "sharded_batched_tnet",
     "tnet_single",
     "sharded_projector",

@@ -44,6 +44,48 @@ def batched_tnet(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200):
                                                   sinkhorn_iters))(s, d, M)
 
 
+def batched_tnet_exact(s, d, M, reg: float = 0.005,
+                       sinkhorn_iters: int = 1000, mesh=None):
+    """Batched crossover to EXACT optimal vertices.
+
+    Device does the heavy approximate work (the batched TNET pipeline);
+    the host's native network simplex then cleans each instance up from the
+    identified tree basis — usually a handful of pivots.  Returns
+    (X, obj, cleanup_pivots, optimal_mask) as numpy arrays.
+    """
+    import numpy as np
+
+    from smart_crossover_tpu.models import Basis, OptTransport
+    from smart_crossover_tpu.solvers.network_simplex import network_simplex
+
+    if mesh is not None:
+        X, push_iters, obj = sharded_batched_tnet(
+            mesh, s, d, M, reg=reg, sinkhorn_iters=sinkhorn_iters)
+    else:
+        X, push_iters, obj = batched_tnet(s, d, M, reg=reg,
+                                          sinkhorn_iters=sinkhorn_iters)
+    X = np.asarray(X, dtype=np.float64)
+    B, S, D = X.shape
+    out_X = np.empty_like(X)
+    out_obj = np.empty(B)
+    pivots = np.empty(B, dtype=np.int64)
+    optimal = np.zeros(B, dtype=bool)
+    for i in range(B):
+        si = np.asarray(s[i], dtype=np.float64)
+        di = np.asarray(d[i], dtype=np.float64)
+        di = di * (si.sum() / di.sum())  # repair f32 mass-balance drift
+        ot = OptTransport(s=si, d=di, M=np.asarray(M[i], dtype=np.float64))
+        mcf = ot.to_MCF()
+        vbasis = np.where(X[i].ravel() > 0, 0, -1).astype(np.int32)
+        cbasis = np.concatenate([-np.ones(mcf.m - 1, dtype=np.int32), [0]])
+        res = network_simplex(mcf, warm_basis=Basis(vbasis, cbasis))
+        out_X[i] = res.x.reshape(S, D)
+        out_obj[i] = res.obj_val
+        pivots[i] = res.iter_count
+        optimal[i] = res.status == "OPTIMAL"
+    return out_X, out_obj, pivots, optimal
+
+
 def sharded_batched_tnet(mesh, s, d, M, reg: float = 0.02,
                          sinkhorn_iters: int = 200):
     """Shard the instance batch over the mesh 'batch' axis and run the

@@ -119,11 +119,20 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
         settings = SolverSettings()
     glp = _as_general(lp)
 
+    out = None
     if method == "barrier":
-        return _solve_lp_barrier(glp, settings, warm_start_solution)
-    if method in ("default", "simplex", "primal_simplex", "dual_simplex"):
-        return _solve_lp_simplex(glp, settings, warm_start_basis,
-                                 warm_start_solution)
+        out = _solve_lp_barrier(glp, settings, warm_start_solution)
+    elif method in ("default", "simplex", "primal_simplex", "dual_simplex"):
+        out = _solve_lp_simplex(glp, settings, warm_start_basis,
+                                warm_start_solution)
+    if out is not None:
+        from smart_crossover_tpu.utils.logging import log_solve
+
+        log_solve(settings.log_file, solver, method, name=glp.name,
+                  status=out.status, obj_val=out.obj_val,
+                  runtime=out.runtime, iter_count=out.iter_count,
+                  bar_iter_count=out.bar_iter_count)
+        return out
     raise ValueError(
         "Invalid method. Choose from 'default', 'barrier', 'simplex', "
         "'primal_simplex', 'dual_simplex', 'network_simplex'.")
@@ -205,6 +214,11 @@ def solve_mcf(mcf: MinCostFlow,
                   "dual_simplex"):
         res = network_simplex(mcf, warm_basis=warm_start_basis,
                               max_iter=settings.networkSimplexMaxIters)
+        from smart_crossover_tpu.utils.logging import log_solve
+
+        log_solve(settings.log_file, solver, method, name=mcf.name,
+                  status=res.status, obj_val=res.obj_val,
+                  runtime=res.runtime, iter_count=res.iter_count)
         if res.status != "OPTIMAL":
             return Output(runtime=res.runtime, status=res.status,
                           iter_count=res.iter_count)

@@ -75,3 +75,25 @@ def test_sharded_sinkhorn_matches_reference(rng):
     f, g = sinkhorn_potentials(ot.s, ot.d, ot.M, eps, num_iters=300)
     Xr = np.asarray(plan_from_potentials(f, g, ot.M, eps))
     np.testing.assert_allclose(Xs, Xr, atol=1e-9)
+
+
+def test_batched_tnet_exact_matches_highs(rng):
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.models import OptTransport
+    from smart_crossover_tpu.parallel.batched import batched_tnet_exact
+
+    s, d, M = make_batch(rng, B=3, S=10, D=12)
+    X, obj, piv, opt = batched_tnet_exact(s, d, M, reg=0.01,
+                                          sinkhorn_iters=500)
+    assert opt.all()
+    for i in range(3):
+        si = np.asarray(s[i], dtype=np.float64)
+        di = np.asarray(d[i], dtype=np.float64)
+        di *= si.sum() / di.sum()
+        mcf = OptTransport(s=si, d=di, M=np.asarray(M[i], np.float64)).to_MCF()
+        ref = linprog(mcf.c, A_eq=mcf.A.toarray(), b_eq=mcf.b,
+                      bounds=[(0, None)] * mcf.n, method="highs")
+        assert abs(obj[i] - ref.fun) < 1e-8
+        # exact conservation
+        np.testing.assert_allclose(X[i].sum(axis=1), si, atol=1e-9)

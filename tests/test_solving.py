@@ -110,3 +110,27 @@ def test_bad_backend_and_method(rng):
     # vendor names map to the in-house backend for migration compatibility
     out = solve_lp(lp, solver="GRB", method="simplex")
     assert out.status == "OPTIMAL"
+
+
+def test_log_file_written(rng, tmp_path):
+    lp = make_lp(rng)
+    logf = tmp_path / "solve.log"
+    solve_lp(lp, method="simplex",
+             settings=SolverSettings(log_file=str(logf)))
+    text = logf.read_text()
+    assert "simplex" in text and "OPTIMAL" in text and "obj_val=" in text
+
+
+def test_analysis_plot_smoke(rng, tmp_path):
+    from smart_crossover_tpu.analysis.plots import runtime_comparison_figure
+    from smart_crossover_tpu.data import ResultStore
+
+    store = ResultStore(tmp_path / "r.jsonl")
+    for i in range(3):
+        store.record(f"inst{i}", "tnet", runtime=0.1 * (i + 1),
+                     status="OPTIMAL", rel_gap_vs_barrier=1e-9)
+        store.record(f"inst{i}", "barrier_crossover", runtime=0.3 * (i + 1),
+                     status="OPTIMAL")
+    fig = runtime_comparison_figure(store, "tnet", "barrier_crossover",
+                                    save_to=str(tmp_path / "fig.png"))
+    assert (tmp_path / "fig.png").exists()
