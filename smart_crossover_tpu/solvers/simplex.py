@@ -35,6 +35,48 @@ ST_UPPER = -2
 ST_FREE = -3  # superbasic / nonbasic free at current value (we pin to 0)
 
 
+class _BasisFactor:
+    """Basis factorisation with product-form (eta) updates.
+
+    A sparse LU of B is computed at refactorisation points; between them,
+    pivots append eta vectors (B_k = B_0 E_1 ... E_k), so each pivot costs an
+    O(m * #etas) eta sweep instead of a fresh factorisation.  Refactors on
+    eta-file overflow or a tiny pivot element (stability guard).
+    """
+
+    def __init__(self, Aext, basic, max_etas: int = 64):
+        self.Aext = Aext
+        self.max_etas = max_etas
+        self.refactor(basic)
+
+    def refactor(self, basic) -> None:
+        self.lu = spla.splu(self.Aext[:, basic].tocsc(), permc_spec="COLAMD")
+        self.etas: list[tuple[int, np.ndarray, float]] = []
+
+    def update(self, basic, pos: int, v: np.ndarray) -> None:
+        """Register the exchange: column `pos` of B replaced by a_e, with
+        v = B_prev^{-1} a_e already computed by the caller."""
+        vr = v[pos]
+        if (len(self.etas) >= self.max_etas
+                or abs(vr) < 1e-8 * (1.0 + np.abs(v).max())):
+            self.refactor(basic)
+            return
+        self.etas.append((pos, v.copy(), float(vr)))
+
+    def solve(self, rhs, trans: str = "N") -> np.ndarray:
+        if trans == "N":
+            z = self.lu.solve(rhs)
+            for r, v, vr in self.etas:
+                zr = z[r] / vr
+                z = z - v * zr
+                z[r] = zr
+            return z
+        w = np.asarray(rhs, dtype=np.float64).copy()
+        for r, v, vr in reversed(self.etas):
+            w[r] = (w[r] - v @ w + vr * w[r]) / vr
+        return self.lu.solve(w, trans="T")
+
+
 @dataclass
 class SimplexResult:
     x: np.ndarray
@@ -101,13 +143,9 @@ def primal_simplex(A, b, c, l, u,
 
     x = nonbasic_values(st)
 
-    def factorize(basic):
-        B = Aext[:, basic].tocsc()
-        return spla.splu(B, permc_spec="COLAMD")
-
-    lu = factorize(basic)
-    rhs = b - Aext[:, np.where(st != ST_BASIC)[0]] @ x[st != ST_BASIC]
-    x[basic] = lu.solve(rhs)
+    lu = _BasisFactor(Aext, basic)
+    x[basic] = 0.0
+    x[basic] = lu.solve(b - Aext @ x)
 
     fixed_cols = np.isfinite(next_l) & np.isfinite(next_u) & (next_l == next_u)
 
@@ -181,32 +219,34 @@ def primal_simplex(A, b, c, l, u,
         if np.isfinite(e_range):
             theta = e_range
             leave_to = ST_UPPER if d_e > 0 else ST_LOWER
-        for k in np.nonzero(np.abs(dxb) > 1e-11)[0]:
-            dk = dxb[k]
-            xk, lk, uk = xb[k], lb[k], ub[k]
-            if dk > 0:
-                if xk < lk - feas_tol:
-                    bound, to = lk, ST_LOWER   # rising toward its lower bound
-                elif xk > uk + feas_tol:
-                    continue                    # above upper, rising: no block
-                elif np.isfinite(uk):
-                    bound, to = uk, ST_UPPER
-                else:
-                    continue
-            else:
-                if xk > uk + feas_tol:
-                    bound, to = uk, ST_UPPER   # falling toward its upper bound
-                elif xk < lk - feas_tol:
-                    continue                    # below lower, falling: no block
-                elif np.isfinite(lk):
-                    bound, to = lk, ST_LOWER
-                else:
-                    continue
-            t = max((bound - xk) / dk, 0.0)
-            if t < theta - 1e-12:
-                theta = t
-                leave_pos = k
-                leave_to = to
+        # vectorised blocking-bound selection (phase-1 aware):
+        #   rising basics block at their lower bound if below it, else upper;
+        #   falling basics block at their upper bound if above it, else lower;
+        #   moving further out of bounds never blocks (handled by cost slope).
+        cand = np.abs(dxb) > 1e-11
+        rising = dxb > 0
+        bound = np.full(xb.size, np.nan)
+        to_arr = np.zeros(xb.size, dtype=np.int8)
+        sel = rising & below
+        bound[sel] = lb[sel]
+        to_arr[sel] = ST_LOWER
+        sel = rising & ~below & ~above & np.isfinite(ub)
+        bound[sel] = ub[sel]
+        to_arr[sel] = ST_UPPER
+        sel = ~rising & above
+        bound[sel] = ub[sel]
+        to_arr[sel] = ST_UPPER
+        sel = ~rising & ~above & ~below & np.isfinite(lb)
+        bound[sel] = lb[sel]
+        to_arr[sel] = ST_LOWER
+        ok = cand & ~np.isnan(bound)
+        ratios = np.full(xb.size, np.inf)
+        ratios[ok] = np.maximum((bound[ok] - xb[ok]) / dxb[ok], 0.0)
+        k = int(np.argmin(ratios)) if xb.size else -1
+        if k >= 0 and ratios[k] < theta - 1e-12:
+            theta = ratios[k]
+            leave_pos = k
+            leave_to = int(to_arr[k])
         if not np.isfinite(theta):
             result_status = "UNBOUNDED" if phase == 2 else "INFEASIBLE"
             break
@@ -228,18 +268,21 @@ def primal_simplex(A, b, c, l, u,
                 x[leaving] = 0.0
                 st[leaving] = ST_FREE
             basic[leave_pos] = e
+            # product-form update: v = B^{-1} a_e = -dxb / d_e
+            v_eta = -dxb / d_e
             try:
-                lu = factorize(basic)
+                lu.update(basic, leave_pos, v_eta)
             except RuntimeError:
                 # singular after swap: undo, demote entering to bound
                 basic[leave_pos] = leaving
                 st[leaving] = ST_BASIC
                 st[e] = ST_LOWER if np.isfinite(next_l[e]) else ST_FREE
                 x[e] = next_l[e] if np.isfinite(next_l[e]) else 0.0
-                lu = factorize(basic)
+                lu.refactor(basic)
             # recompute basic values for numerical hygiene
             nb = st != ST_BASIC
-            x[basic] = lu.solve(b - Aext[:, np.where(nb)[0]] @ x[nb])
+            x_nb = np.where(nb, x, 0.0)
+            x[basic] = lu.solve(b - Aext @ x_nb)
 
     # final duals / reduced costs w.r.t. the REAL objective
     y = lu.solve(cext[basic], trans="T")
