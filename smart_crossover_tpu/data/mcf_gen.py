@@ -1,0 +1,91 @@
+"""Synthetic min-cost-flow instance generation.
+
+The reference benchmarks on GOTO (grid-on-torus) DIMACS instances
+(data/README.md; scripts/min2mcf.py converts them).  This module generates
+GOTO-like instances locally — torus grid arcs plus random long-range arcs,
+graded capacities/costs, one source and one sink — deterministic by seed.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from smart_crossover_tpu.models import MinCostFlow
+
+
+def goto_like_mcf(width: int = 16, height: int = 16, extra_arc_factor: int = 4,
+                  supply: float = 100.0, max_cost: float = 100.0,
+                  max_cap: float = 30.0, seed: int = 42,
+                  name: str | None = None) -> MinCostFlow:
+    """Grid-on-torus MCF: m = width*height nodes, torus neighbor arcs plus
+    `extra_arc_factor * m` random arcs; flow pushed from node 0 to the
+    antipodal node."""
+    rng = np.random.default_rng(seed)
+    m = width * height
+
+    def node(i, j):
+        return (i % height) * width + (j % width)
+
+    tails, heads = [], []
+    for i in range(height):
+        for j in range(width):
+            v = node(i, j)
+            tails += [v, v]
+            heads += [node(i, j + 1), node(i + 1, j)]
+    extra = extra_arc_factor * m
+    et = rng.integers(0, m, extra)
+    eh = rng.integers(0, m, extra)
+    keep = et != eh
+    tails = np.concatenate([tails, et[keep]])
+    heads = np.concatenate([heads, eh[keep]])
+    n = tails.size
+
+    cost = np.round(rng.uniform(1.0, max_cost, n), 2)
+    cap = np.round(rng.uniform(max_cap / 3, max_cap, n), 2)
+    # widen a random "highway" subset (long cheap-ish corridors)
+    hw = rng.uniform(size=n) < 0.1
+    cap[hw] = max_cap * 5
+    src = 0
+    sink = node(height // 2, width // 2)
+    # cap the requested supply by the trivial src/sink cut capacities so the
+    # instance is guaranteed-feasible (GOTO generators do the same)
+    out_cap = cap[tails == src].sum()
+    in_cap = cap[heads == sink].sum()
+    supply = min(supply, 0.5 * out_cap, 0.5 * in_cap)
+    b = np.zeros(m)
+    b[src] = -supply
+    b[sink] = supply
+    if name is None:
+        name = f"goto_like_{width}x{height}_s{seed}"
+    return MinCostFlow(tails=tails, heads=heads, c=cost, u=cap, b=b,
+                       name=name)
+
+
+def transshipment_mcf(m: int = 200, arcs_per_node: int = 6,
+                      num_terminals: int = 20, seed: int = 0,
+                      name: str | None = None) -> MinCostFlow:
+    """Random transshipment instance: many sources/sinks, dense-ish random
+    arcs, with a guaranteed-feasible high-capacity spanning cycle."""
+    rng = np.random.default_rng(seed)
+    n_rand = m * arcs_per_node
+    tails = rng.integers(0, m, n_rand)
+    heads = rng.integers(0, m, n_rand)
+    keep = tails != heads
+    # spanning cycle for feasibility
+    cyc_t = np.arange(m)
+    cyc_h = (np.arange(m) + 1) % m
+    tails = np.concatenate([cyc_t, cyc_t[::-1], tails[keep]])
+    heads = np.concatenate([cyc_h, (cyc_t[::-1] - 1) % m, heads[keep]])
+    n = tails.size
+    cost = rng.uniform(1.0, 50.0, n)
+    cost[: 2 * m] = 200.0  # cycle arcs expensive
+    cap = rng.uniform(1.0, 10.0, n)
+    terminals = rng.choice(m, size=num_terminals, replace=False)
+    b = np.zeros(m)
+    amounts = rng.uniform(1.0, 5.0, num_terminals)
+    b[terminals] = amounts
+    b -= b.sum() / m
+    cap[: 2 * m] = np.abs(b).sum()  # cycle can carry everything
+    if name is None:
+        name = f"transship_{m}_s{seed}"
+    return MinCostFlow(tails=tails, heads=heads, c=cost, u=cap, b=b,
+                       name=name)

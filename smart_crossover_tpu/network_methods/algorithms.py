@@ -147,6 +147,7 @@ def column_generation(net_manager: NetworkManager,
         net_manager.set_basis(
             net_manager.recover_basis_from_sub_basis(sub_output.basis))
         x = net_manager.recover_x_from_sub_x(sub_output.x)
+        obj_val = net_manager.objective(x)
         iters += sub_output.iter_count or 0
         cg_round += 1
         logger.info("*** CG round %d: %d columns, %s pivots ***",

@@ -95,6 +95,16 @@ class MCFManager:
             return obj_val
         return obj_val * self.c_rescaling_factor
 
+    def objective(self, x: np.ndarray) -> float:
+        """True objective of a recovered full solution (includes the
+        contribution of variables fixed at their upper bound, which the
+        subproblem objective drops as a constant — reference
+        net_manager.py:202-209 drops it too)."""
+        val = float(self.mcf.c @ x)
+        if self.c_rescaling_factor is not None:
+            val *= self.c_rescaling_factor
+        return val
+
     # --- big-M extension ----------------------------------------------------
     def extend_by_bigM(self, bigM: float) -> None:
         """Append an artificial node plus one artificial arc per real node.
@@ -298,6 +308,9 @@ class OTManager:
 
     def recover_obj_val(self, obj_val: float) -> float:
         return obj_val
+
+    def objective(self, x: np.ndarray) -> float:
+        return float(self.mcf.c @ x)
 
     def get_reduced_cost_for_original_OT(self, y: np.ndarray) -> np.ndarray:
         return self.mcf.c - (y[self.mcf.heads] - y[self.mcf.tails])
