@@ -151,12 +151,16 @@ def pdhg_solve(A, b, c, l, u, sense=None,
         sense: length-m array of '='/'<' (None = all equality).
     """
     t0 = time.perf_counter()
-    A = jnp.asarray(A)
+    from jax.experimental import sparse as jsparse
+
+    if not isinstance(A, jsparse.BCOO):
+        A = jnp.asarray(A)
     m, n = A.shape
-    b = jnp.asarray(b, dtype=A.dtype)
-    c = jnp.asarray(c, dtype=A.dtype)
-    l = jnp.asarray(l, dtype=A.dtype)
-    u = jnp.asarray(u, dtype=A.dtype)
+    dtype = A.dtype
+    b = jnp.asarray(b, dtype=dtype)
+    c = jnp.asarray(c, dtype=dtype)
+    l = jnp.asarray(l, dtype=dtype)
+    u = jnp.asarray(u, dtype=dtype)
     if sense is None:
         is_eq = jnp.ones(m, dtype=bool)
     else:
@@ -167,13 +171,13 @@ def pdhg_solve(A, b, c, l, u, sense=None,
     sigma = 0.9 / opnorm
 
     if x0 is None:
-        x0 = jnp.clip(jnp.zeros(n, dtype=A.dtype), l, u)
+        x0 = jnp.clip(jnp.zeros(n, dtype=dtype), l, u)
     else:
-        x0 = jnp.asarray(x0, dtype=A.dtype)
+        x0 = jnp.asarray(x0, dtype=dtype)
     if y0 is None:
-        y0 = jnp.zeros(m, dtype=A.dtype)
+        y0 = jnp.zeros(m, dtype=dtype)
     else:
-        y0 = jnp.asarray(y0, dtype=A.dtype)
+        y0 = jnp.asarray(y0, dtype=dtype)
 
     x, y, iters, done = _pdhg_core(
         A, b, c, l, u, is_eq, tau, sigma, x0, y0,
@@ -183,7 +187,28 @@ def pdhg_solve(A, b, c, l, u, sense=None,
     y = np.asarray(y, dtype=np.float64)
 
     # final residuals (host, f64)
-    An = np.asarray(A, dtype=np.float64)
+    if isinstance(A, jsparse.BCOO):
+        An = np.asarray(A.todense(), dtype=np.float64) if n * m <= 4_000_000 \
+            else None
+    else:
+        An = np.asarray(A, dtype=np.float64)
+    if An is None:
+        # large sparse: compute residuals on device instead
+        r_dev = A @ jnp.asarray(x, dtype=dtype) - b
+        rc_dev = c - (A.T @ jnp.asarray(y, dtype=dtype))
+        An_r = np.asarray(r_dev, dtype=np.float64)
+        rc_host = np.asarray(rc_dev, dtype=np.float64)
+        eq = np.asarray(is_eq)
+        pres = float(np.linalg.norm(np.where(eq, An_r, np.maximum(An_r, 0.0)))
+                     / (1.0 + np.linalg.norm(b)))
+        obj = float(np.asarray(c) @ x)
+        status = "OPTIMAL" if bool(done) else "ITERATION_LIMIT"
+        return PDHGResult(x=x, y=y, obj_val=obj, iter_count=int(iters),
+                          status=status,
+                          runtime=datetime.timedelta(
+                              seconds=time.perf_counter() - t0),
+                          primal_residual=pres, dual_residual=float("nan"),
+                          gap=float("nan"))
     r = An @ x - np.asarray(b, dtype=np.float64)
     eq = np.asarray(is_eq)
     pres = float(np.linalg.norm(np.where(eq, r, np.maximum(r, 0.0)))
@@ -207,11 +232,22 @@ def pdhg_solve(A, b, c, l, u, sense=None,
 
 
 def pdhg_general_lp(lp, tol: float = 1e-6, max_iters: int = 100_000,
-                    x0=None, y0=None) -> PDHGResult:
-    """PDHG on a GeneralLP (dense A; for large sparse problems prefer the
-    IPM host path or the sharded variant in parallel/)."""
+                    x0=None, y0=None, sparse: bool | None = None
+                    ) -> PDHGResult:
+    """PDHG on a GeneralLP.  ``sparse=True`` keeps A as a BCOO sparse matrix
+    on device (matvecs lower to gather/scatter); default picks sparse for
+    big, sparse instances."""
     import scipy.sparse as sp
 
-    A = np.asarray(sp.csr_matrix(lp.A).todense())
+    A_sp = sp.csr_matrix(lp.A)
+    if sparse is None:
+        sparse = (A_sp.shape[0] * A_sp.shape[1] > 1_000_000
+                  and A_sp.nnz < 0.1 * A_sp.shape[0] * A_sp.shape[1])
+    if sparse:
+        from jax.experimental import sparse as jsparse
+
+        A = jsparse.BCOO.from_scipy_sparse(A_sp)
+    else:
+        A = np.asarray(A_sp.todense())
     return pdhg_solve(A, lp.b, lp.c, lp.l, lp.u, sense=lp.sense, tol=tol,
                       max_iters=max_iters, x0=x0, y0=y0)

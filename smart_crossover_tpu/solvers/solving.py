@@ -125,6 +125,18 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
     elif method in ("default", "simplex", "primal_simplex", "dual_simplex"):
         out = _solve_lp_simplex(glp, settings, warm_start_basis,
                                 warm_start_solution)
+    elif method in ("first_order", "pdhg"):
+        from smart_crossover_tpu.solvers.pdhg import pdhg_general_lp
+
+        x0 = y0 = None
+        if warm_start_solution is not None:
+            x0, y0 = warm_start_solution
+        res = pdhg_general_lp(glp, tol=settings.barrierTol,
+                              max_iters=settings.firstOrderMaxIters,
+                              x0=x0, y0=y0)
+        out = Output(x=res.x, y=res.y, x_bar=res.x, obj_val=res.obj_val,
+                     runtime=res.runtime, bar_iter_count=res.iter_count,
+                     rcost=glp.get_dual_slack(res.y), status=res.status)
     if out is not None:
         from smart_crossover_tpu.utils.logging import log_solve
 
@@ -135,7 +147,8 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
         return out
     raise ValueError(
         "Invalid method. Choose from 'default', 'barrier', 'simplex', "
-        "'primal_simplex', 'dual_simplex', 'network_simplex'.")
+        "'primal_simplex', 'dual_simplex', 'network_simplex', "
+        "'first_order'/'pdhg'.")
 
 
 def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,

@@ -129,3 +129,27 @@ def test_perturb_crossover_with_free_vars():
     out = run_perturb_algorithm(lp)
     assert out.status == "OPTIMAL"
     assert out.obj_val == pytest.approx(ref.fun, rel=1e-6, abs=1e-6)
+
+
+def test_perturb_crossover_degenerate_assignment():
+    """Highly degenerate LP (integer-cost assignment): the perturbation
+    should reach an optimal vertex with no more pivots than the plain
+    barrier crossover, and identical objective."""
+    import scipy.sparse as sp
+
+    from smart_crossover_tpu.models import OptTransport
+    from smart_crossover_tpu.solvers.solving import solve_lp
+
+    rng = np.random.default_rng(0)
+    k = 8
+    ot = OptTransport(s=np.ones(k), d=np.ones(k),
+                      M=rng.integers(1, 5, (k, k)).astype(float))
+    mcf = ot.to_MCF()
+    lp = GeneralLP(A=sp.csr_matrix(mcf.A), b=mcf.b, c=mcf.c,
+                   l=np.zeros(mcf.n), u=np.full(mcf.n, np.inf),
+                   sense=np.full(mcf.m, "="))
+    ori = solve_lp(lp, method="barrier")
+    ptb = run_perturb_algorithm(lp)
+    assert ori.status == ptb.status == "OPTIMAL"
+    assert ptb.obj_val == pytest.approx(ori.obj_val, abs=1e-7)
+    assert ptb.iter_count <= ori.iter_count

@@ -61,3 +61,38 @@ def test_pdhg_warm_start_converges_faster(rng):
                       max_iters=200_000, x0=cold.x, y0=cold.y)
     assert warm.status == "OPTIMAL"
     assert warm.iter_count <= cold.iter_count
+
+
+def test_pdhg_sparse_bcoo_path(rng):
+    import scipy.sparse as sp
+
+    m, n = 10, 30
+    A_sp = sp.random(m, n, density=0.3, random_state=3, format="csr")
+    A_sp = A_sp + sp.eye(m, n)
+    x0 = rng.uniform(0.2, 0.8, n)
+    b = np.asarray(A_sp @ x0).ravel()
+    c = rng.standard_normal(n)
+    lp = GeneralLP(A=A_sp, b=b, c=c, l=np.zeros(n), u=np.ones(n),
+                   sense=np.full(m, "="))
+    dense = pdhg_general_lp(lp, tol=1e-7, max_iters=200_000, sparse=False)
+    bcoo = pdhg_general_lp(lp, tol=1e-7, max_iters=200_000, sparse=True)
+    assert dense.status == bcoo.status == "OPTIMAL"
+    assert bcoo.obj_val == pytest.approx(dense.obj_val, abs=1e-4)
+
+
+def test_solve_lp_first_order_method(rng):
+    from smart_crossover_tpu.solvers.settings import SolverSettings
+    from smart_crossover_tpu.solvers.solving import solve_lp
+
+    m, n = 8, 20
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    lp = GeneralLP(A=A, b=b, c=rng.standard_normal(n), l=np.zeros(n),
+                   u=np.ones(n), sense=np.full(m, "="))
+    out = solve_lp(lp, method="first_order",
+                   settings=SolverSettings(barrierTol=1e-6,
+                                           firstOrderMaxIters=200_000))
+    ref = linprog(lp.c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert out.status == "OPTIMAL"
+    assert out.obj_val == pytest.approx(ref.fun, abs=1e-3)
+    assert out.x_bar is not None
