@@ -336,3 +336,148 @@ def _repair_basis(Aext: sp.csc_matrix, candidates: np.ndarray, m: int, n: int
     except RuntimeError:
         pass
     return np.arange(n, n + m, dtype=np.int64)  # all-artificial fallback
+
+
+def dual_simplex(A, b, c, l, u,
+                 vstatus: np.ndarray,
+                 max_iter: int = 200_000,
+                 tol: float = 1e-9,
+                 feas_tol: float = 1e-9) -> SimplexResult:
+    """Bounded-variable dual simplex.
+
+    Starts from a DUAL-feasible status vector (reduced costs >= 0 at lower
+    bounds, <= 0 at upper bounds) and restores primal feasibility by driving
+    out bound-violating basics — the classic tool for re-solving after RHS
+    or bound changes from a previously optimal basis.  Falls back to the
+    primal engine (phase-1) when the start is not dual feasible.
+    """
+    t0 = time.perf_counter()
+    A = sp.csc_matrix(A).astype(np.float64)
+    m, n = A.shape
+    b = np.asarray(b, dtype=np.float64)
+    c0 = np.asarray(c, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+
+    Aext = sp.hstack([A, sp.eye(m, format="csc")]).tocsc()
+    next_l = np.concatenate([l, np.zeros(m)])
+    next_u = np.concatenate([u, np.zeros(m)])
+    cext = np.concatenate([c0, np.zeros(m)])
+    N = n + m
+
+    st = np.full(N, ST_LOWER, dtype=np.int8)
+    st[:n] = np.asarray(vstatus, dtype=np.int8)
+    bad_up = (st[:n] == ST_UPPER) & ~np.isfinite(u)
+    st[:n][bad_up] = np.where(np.isfinite(l[bad_up]), ST_LOWER, ST_FREE)
+    bad_lo = (st[:n] == ST_LOWER) & ~np.isfinite(l)
+    st[:n][bad_lo] = np.where(np.isfinite(u[bad_lo]), ST_UPPER, ST_FREE)
+
+    basic = _repair_basis(Aext, np.where(st == ST_BASIC)[0], m, n)
+    st[st == ST_BASIC] = ST_LOWER
+    demoted = (st == ST_LOWER) & ~np.isfinite(next_l)
+    st[demoted & np.isfinite(next_u)] = ST_UPPER
+    st[demoted & ~np.isfinite(next_u)] = ST_FREE
+    st[basic] = ST_BASIC
+    fixed_cols = np.isfinite(next_l) & np.isfinite(next_u) & (next_l == next_u)
+
+    x = np.zeros(N)
+    x[st == ST_LOWER] = next_l[st == ST_LOWER]
+    x[st == ST_UPPER] = next_u[st == ST_UPPER]
+    lu = _BasisFactor(Aext, basic)
+    x[basic] = 0.0
+    x[basic] = lu.solve(b - Aext @ x)
+
+    # dual feasibility check on the warm start
+    y = lu.solve(cext[basic], trans="T")
+    rc = cext - Aext.T @ y
+    rc[basic] = 0.0
+    dual_ok = np.all(
+        np.where(fixed_cols, True,
+                 np.where(st == ST_LOWER, rc >= -1e-7,
+                          np.where(st == ST_UPPER, rc <= 1e-7,
+                                   np.where(st == ST_FREE,
+                                            np.abs(rc) <= 1e-7, True)))))
+    if not dual_ok:
+        return primal_simplex(A, b, c0, l, u, vstatus=vstatus,
+                              max_iter=max_iter, tol=tol, feas_tol=feas_tol)
+
+    it = 0
+    result_status = "OPTIMAL"
+    while True:
+        if it >= max_iter:
+            result_status = "ITERATION_LIMIT"
+            break
+        xb = x[basic]
+        lb = next_l[basic]
+        ub = next_u[basic]
+        below = np.where(np.isfinite(lb), lb - xb, -np.inf)
+        above = np.where(np.isfinite(ub), xb - ub, -np.inf)
+        viol = np.maximum(below, above)
+        r = int(np.argmax(viol))
+        if viol[r] <= feas_tol:
+            break  # primal feasible + dual feasible -> optimal
+        it += 1
+        to_lower = below[r] >= above[r]
+        sigma = -1.0 if to_lower else 1.0   # sign of needed change... see below
+        # rho = B^{-T} e_r ; alpha_j = a_j' rho
+        e_r = np.zeros(m)
+        e_r[r] = 1.0
+        rho = lu.solve(e_r, trans="T")
+        alpha = Aext.T @ rho
+        # leaving basic must move toward its violated bound:
+        #   xB[r] changes by -alpha_j * d_j * t for entering j moving d_j
+        # need change > 0 when below lower (to_lower), < 0 when above upper
+        need = 1.0 if to_lower else -1.0
+        at_l = (st == ST_LOWER) & ~fixed_cols
+        at_u = (st == ST_UPPER) & ~fixed_cols
+        at_f = st == ST_FREE
+        # candidate direction d_j: +1 from lower/free, -1 from upper/free
+        cand_l = at_l & (-alpha * need > tol)          # d=+1
+        cand_u = at_u & (alpha * need > tol)           # d=-1
+        cand_f = at_f & (np.abs(alpha) > tol)
+        cand = cand_l | cand_u | cand_f
+        if not np.any(cand):
+            result_status = "INFEASIBLE"
+            break
+        # dual ratio test: min |rc_j / alpha_j| over candidates
+        ratios = np.full(N, np.inf)
+        ratios[cand] = np.abs(rc[cand]) / np.abs(alpha[cand])
+        e = int(np.argmin(ratios))
+        d_e = 1.0 if (cand_l[e] or (cand_f[e] and -alpha[e] * need > 0)) \
+            else -1.0
+        # step length from the leaving variable's violation
+        target = lb[r] if to_lower else ub[r]
+        t_step = (target - xb[r]) / (-alpha[e] * d_e)
+        t_step = max(t_step, 0.0)
+
+        dxb = lu.solve(-np.asarray(Aext[:, e].todense()).ravel() * d_e)
+        x[e] += d_e * t_step
+        x[basic] = xb + t_step * dxb
+
+        leaving = basic[r]
+        st[leaving] = ST_LOWER if to_lower else ST_UPPER
+        x[leaving] = target
+        st[e] = ST_BASIC
+        basic[r] = e
+        v_eta = -dxb / d_e
+        try:
+            lu.update(basic, r, v_eta)
+        except RuntimeError:
+            lu.refactor(basic)
+        nb = st != ST_BASIC
+        x_nb = np.where(nb, x, 0.0)
+        x[basic] = lu.solve(b - Aext @ x_nb)
+        y = lu.solve(cext[basic], trans="T")
+        rc = cext - Aext.T @ y
+        rc[basic] = 0.0
+
+    y = lu.solve(cext[basic], trans="T")
+    rc_full = cext - Aext.T @ y
+    vstatus_out = st[:n].copy()
+    row_basic = np.zeros(m, dtype=bool)
+    row_basic[basic[basic >= n] - n] = True
+    runtime = datetime.timedelta(seconds=time.perf_counter() - t0)
+    return SimplexResult(x=x[:n], y=y, obj_val=float(cext @ x),
+                         vstatus=vstatus_out, rcost=rc_full[:n],
+                         iter_count=it, status=result_status,
+                         runtime=runtime, row_basic=row_basic)

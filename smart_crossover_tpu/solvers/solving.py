@@ -124,7 +124,8 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
         out = _solve_lp_barrier(glp, settings, warm_start_solution)
     elif method in ("default", "simplex", "primal_simplex", "dual_simplex"):
         out = _solve_lp_simplex(glp, settings, warm_start_basis,
-                                warm_start_solution)
+                                warm_start_solution,
+                                dual=(method == "dual_simplex"))
     elif method in ("first_order", "pdhg"):
         from smart_crossover_tpu.solvers.pdhg import pdhg_general_lp
 
@@ -188,7 +189,7 @@ def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
 
 def _solve_lp_simplex(glp: GeneralLP, settings: SolverSettings,
                       warm_start_basis: Optional[Basis],
-                      warm_start_solution) -> Output:
+                      warm_start_solution, dual: bool = False) -> Output:
     A_std = glp.get_standard_A()
     c_std = glp.get_standard_c()
     l_std, u_std = glp.get_standard_bounds()
@@ -198,9 +199,16 @@ def _solve_lp_simplex(glp: GeneralLP, settings: SolverSettings,
     elif warm_start_solution is not None:
         x0 = np.asarray(warm_start_solution[0])
         vst = _crossover_statuses(glp.get_standard_x(x0), l_std, u_std)
-    sres = primal_simplex(A_std, glp.b, c_std, l_std, u_std, vstatus=vst,
-                          max_iter=settings.simplexMaxIters,
-                          tol=settings.optimalityTol)
+    if dual and vst is not None:
+        from smart_crossover_tpu.solvers.simplex import dual_simplex
+
+        sres = dual_simplex(A_std, glp.b, c_std, l_std, u_std, vstatus=vst,
+                            max_iter=settings.simplexMaxIters,
+                            tol=settings.optimalityTol)
+    else:
+        sres = primal_simplex(A_std, glp.b, c_std, l_std, u_std, vstatus=vst,
+                              max_iter=settings.simplexMaxIters,
+                              tol=settings.optimalityTol)
     basis = _vstatus_to_basis(glp, sres.vstatus, sres.row_basic)
     if sres.status != "OPTIMAL":
         return Output(runtime=sres.runtime, status=sres.status,

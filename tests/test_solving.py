@@ -134,3 +134,15 @@ def test_analysis_plot_smoke(rng, tmp_path):
     fig = runtime_comparison_figure(store, "tnet", "barrier_crossover",
                                     save_to=str(tmp_path / "fig.png"))
     assert (tmp_path / "fig.png").exists()
+
+
+def test_solve_lp_dual_simplex_method(rng):
+    lp = make_lp(rng)
+    base = solve_lp(lp, method="simplex")
+    lp2 = lp.copy()
+    lp2.b = lp.b + 0.02
+    out = solve_lp(lp2, method="dual_simplex", warm_start_basis=base.basis)
+    ref = solve_lp(lp2, method="simplex")
+    if ref.status == "OPTIMAL":
+        assert out.status == "OPTIMAL"
+        assert out.obj_val == pytest.approx(ref.obj_val, abs=1e-7)
