@@ -17,6 +17,18 @@ BATCH_AXIS = "batch"
 MODEL_AXIS = "model"
 
 
+def init_distributed(**kwargs) -> None:
+    """Initialise multi-host JAX (jax.distributed.initialize) when running
+    on a pod slice; a no-op on a single host.  After this, `jax.devices()`
+    spans all hosts and the meshes below shard across DCN+ICI."""
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single host / already initialised
+
+
 def make_mesh(n_batch: int | None = None, n_model: int = 1,
               devices=None) -> Mesh:
     """Build a (batch, model) mesh over the available devices."""

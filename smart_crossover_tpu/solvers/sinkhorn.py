@@ -50,6 +50,41 @@ def sinkhorn_potentials(s, d, M, reg, num_iters: int = 1000):
     return jax.lax.fori_loop(0, num_iters, body, (f0, g0))
 
 
+@partial(jax.jit, static_argnames=("max_iters", "check_every"))
+def sinkhorn_potentials_tol(s, d, M, reg, tol: float = 1e-9,
+                            max_iters: int = 10_000, check_every: int = 10):
+    """Tolerance-stopped Sinkhorn (the analog of POT's stopThr): iterate in
+    blocks of ``check_every`` until the row-marginal L1 error drops below
+    ``tol``.  Returns (f, g, iters)."""
+    M = jnp.asarray(M)
+    log_s = jnp.log(s)
+    log_d = jnp.log(d)
+
+    def one(fg):
+        f, g = fg
+        f = reg * (log_s - logsumexp((g[None, :] - M) / reg, axis=1))
+        g = reg * (log_d - logsumexp((f[:, None] - M) / reg, axis=0))
+        return f, g
+
+    def body(state):
+        f, g, it, _ = state
+        f, g = jax.lax.fori_loop(0, check_every, lambda _, fg: one(fg),
+                                 (f, g))
+        row = jnp.sum(jnp.exp((f[:, None] + g[None, :] - M) / reg), axis=1)
+        err = jnp.sum(jnp.abs(row - s))
+        return f, g, it + check_every, err
+
+    def cond(state):
+        _, _, it, err = state
+        return (err > tol) & (it < max_iters)
+
+    f0 = jnp.zeros_like(log_s)
+    g0 = jnp.zeros_like(log_d)
+    f, g, iters, err = jax.lax.while_loop(
+        cond, body, (f0, g0, jnp.asarray(0), jnp.asarray(jnp.inf, M.dtype)))
+    return f, g, iters
+
+
 def plan_from_potentials(f, g, M, reg):
     return jnp.exp((f[:, None] + g[None, :] - M) / reg)
 

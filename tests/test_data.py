@@ -149,3 +149,22 @@ def test_result_store_resume(tmp_path):
     assert store.is_solved("inst1") and not store.is_solved("inst9")
     rows = list(store.rows())
     assert len(rows) == 3 and rows[0]["runtime"] == 1.5
+
+
+def test_dimacs_roundtrip(tmp_path):
+    from smart_crossover_tpu.data.dimacs_write import write_dimacs_min
+    from smart_crossover_tpu.data.mcf_gen import transshipment_mcf
+
+    mcf = transshipment_mcf(m=20, seed=3)
+    p = tmp_path / "rt.min"
+    write_dimacs_min(mcf, p)
+    mcf2 = read_dimacs_min(p)
+    np.testing.assert_array_equal(mcf2.tails, mcf.tails)
+    np.testing.assert_array_equal(mcf2.heads, mcf.heads)
+    np.testing.assert_allclose(mcf2.b, mcf.b, atol=1e-8)
+    np.testing.assert_allclose(mcf2.c, mcf.c, atol=1e-8)
+    from smart_crossover_tpu.solvers.network_simplex import network_simplex
+
+    r1 = network_simplex(mcf)
+    r2 = network_simplex(mcf2)
+    assert abs(r1.obj_val - r2.obj_val) < 1e-6

@@ -49,3 +49,15 @@ def test_round_to_feasible_exact(rng):
     np.testing.assert_allclose(Xr.sum(axis=1), ot.s, atol=1e-12)
     np.testing.assert_allclose(Xr.sum(axis=0), ot.d, atol=1e-12)
     assert np.all(Xr >= -1e-15)
+
+
+def test_sinkhorn_tolerance_stopped(rng):
+    from smart_crossover_tpu.solvers.sinkhorn import sinkhorn_potentials_tol
+
+    ot = random_ot(rng, 9, 11)
+    eps = 0.05 * ot.M.max()
+    f, g, iters = sinkhorn_potentials_tol(ot.s, ot.d, ot.M, eps, tol=1e-8,
+                                          max_iters=5000)
+    X = np.asarray(plan_from_potentials(f, g, ot.M, eps))
+    assert np.abs(X.sum(axis=1) - ot.s).sum() < 1e-7
+    assert 0 < int(iters) < 5000
