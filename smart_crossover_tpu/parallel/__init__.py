@@ -9,6 +9,7 @@ from smart_crossover_tpu.parallel.mesh import (
     MODEL_AXIS,
     make_mesh,
 )
+from smart_crossover_tpu.parallel.pdhg_sharded import sharded_pdhg
 from smart_crossover_tpu.parallel.projector import (
     sharded_projector,
     sharded_sinkhorn_plan,
@@ -23,5 +24,6 @@ __all__ = [
     "sharded_batched_tnet",
     "tnet_single",
     "sharded_projector",
+    "sharded_pdhg",
     "sharded_sinkhorn_plan",
 ]

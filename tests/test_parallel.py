@@ -97,3 +97,21 @@ def test_batched_tnet_exact_matches_highs(rng):
         assert abs(obj[i] - ref.fun) < 1e-8
         # exact conservation
         np.testing.assert_allclose(X[i].sum(axis=1), si, atol=1e-9)
+
+
+def test_sharded_pdhg_matches_highs(rng):
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.parallel.pdhg_sharded import sharded_pdhg
+
+    mesh = make_mesh(n_batch=1, n_model=8)
+    m, n = 12, 64
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    x, y = sharded_pdhg(mesh, A, b, c, np.zeros(n), np.ones(n),
+                        num_iters=40_000, restart_period=200)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert ref.status == 0
+    assert abs(c @ x - ref.fun) < 2e-3 * (1 + abs(ref.fun))
+    assert np.linalg.norm(A @ x - b) < 1e-3 * (1 + np.linalg.norm(b))
