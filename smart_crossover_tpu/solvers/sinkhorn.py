@@ -50,6 +50,37 @@ def sinkhorn_potentials(s, d, M, reg, num_iters: int = 1000):
     return jax.lax.fori_loop(0, num_iters, body, (f0, g0))
 
 
+@partial(jax.jit, static_argnames=("num_iters", "stages"))
+def sinkhorn_potentials_annealed(s, d, M, reg, num_iters: int = 500,
+                                 stages: int = 4, start_factor: float = 16.0):
+    """Epsilon-annealed Sinkhorn: run ``stages`` rounds with the
+    regularisation geometrically decreasing from ``start_factor * reg`` to
+    ``reg``, warm-starting each round's potentials from the previous.  At a
+    fixed iteration budget this lands far closer to the LP optimum than a
+    cold run at the final epsilon."""
+    M = jnp.asarray(M)
+    log_s = jnp.log(s)
+    log_d = jnp.log(d)
+    per_stage = max(num_iters // stages, 1)
+    ratio = start_factor ** (1.0 / max(stages - 1, 1))
+
+    def run_stage(k, fg):
+        f, g = fg
+        eps = reg * ratio ** (stages - 1 - k)
+
+        def body(_, fg):
+            f, g = fg
+            f = eps * (log_s - logsumexp((g[None, :] - M) / eps, axis=1))
+            g = eps * (log_d - logsumexp((f[:, None] - M) / eps, axis=0))
+            return f, g
+
+        return jax.lax.fori_loop(0, per_stage, body, (f, g))
+
+    f0 = jnp.zeros_like(log_s)
+    g0 = jnp.zeros_like(log_d)
+    return jax.lax.fori_loop(0, stages, run_stage, (f0, g0))
+
+
 @partial(jax.jit, static_argnames=("max_iters", "check_every"))
 def sinkhorn_potentials_tol(s, d, M, reg, tol: float = 1e-9,
                             max_iters: int = 10_000, check_every: int = 10):

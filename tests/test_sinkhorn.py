@@ -61,3 +61,18 @@ def test_sinkhorn_tolerance_stopped(rng):
     X = np.asarray(plan_from_potentials(f, g, ot.M, eps))
     assert np.abs(X.sum(axis=1) - ot.s).sum() < 1e-7
     assert 0 < int(iters) < 5000
+
+
+def test_sinkhorn_annealed(rng):
+    from smart_crossover_tpu.solvers.sinkhorn import (
+        sinkhorn_potentials_annealed,
+    )
+
+    ot = random_ot(rng, 12, 14)
+    eps = 0.01 * ot.M.max()
+    f, g = sinkhorn_potentials_annealed(ot.s, ot.d, ot.M, eps,
+                                        num_iters=400, stages=4)
+    X = np.asarray(plan_from_potentials(f, g, ot.M, eps))
+    # column marginals exact after final g-update; rows near
+    np.testing.assert_allclose(X.sum(axis=0), ot.d, atol=1e-8)
+    assert np.abs(X.sum(axis=1) - ot.s).sum() < 0.05
