@@ -80,10 +80,24 @@ class MCFManager:
 
     # --- ranking ------------------------------------------------------------
     def get_sorted_flows(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        ind = np.asarray(mcf_flow_indicators(
-            np.asarray(x), self.mcf.tails, self.mcf.heads, self.mcf.u, self.m))
+        # pad the arc arrays to the next power of two so distinct instances
+        # bucket onto the same compiled kernel (dummy self-loop arcs carry
+        # zero flow and rank last)
+        n = self.n
+        n_pad = 1 << (n - 1).bit_length()
+        xs = np.zeros(n_pad)
+        xs[:n] = np.asarray(x)
+        tails = np.zeros(n_pad, dtype=np.int64)
+        heads = np.zeros(n_pad, dtype=np.int64)
+        tails[:n] = self.mcf.tails
+        heads[:n] = self.mcf.heads
+        u = np.full(n_pad, np.inf)
+        u[:n] = self.mcf.u
+        m_pad = 1 << (self.m - 1).bit_length()  # bucket num_segments too
+        ind = np.asarray(mcf_flow_indicators(xs, tails, heads, u, m_pad))
         queue = np.asarray(sort_flows(ind))
-        return queue, ind
+        queue = queue[queue < n]
+        return queue, ind[:n]
 
     # --- cost rescaling -----------------------------------------------------
     def rescale_cost(self, factor: float) -> None:
