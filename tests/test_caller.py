@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from smart_crossover_tpu.models import GeneralLP
+from smart_crossover_tpu.solvers.caller import SolverCaller, generate_solver_caller
+from tests.conftest import random_ot
+
+
+def test_caller_lp_workflow(rng):
+    m, n = 6, 15
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    lp = GeneralLP(A=A, b=b, c=rng.standard_normal(n), l=np.zeros(n),
+                   u=np.ones(n), sense=np.full(m, "="))
+    caller = generate_solver_caller("GRB")  # legacy name maps in-house
+    caller.read_genlp(lp)
+    caller.run_barrier()
+    out = caller.return_output()
+    assert caller.return_status() == "OPTIMAL"
+    assert caller.return_barx() is not None
+    ref = linprog(lp.c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert caller.return_obj_val() == pytest.approx(ref.fun, abs=1e-6)
+    # warm-started re-run through the same caller API
+    caller2 = SolverCaller()
+    caller2.read_genlp(lp)
+    caller2.add_warm_start_basis(caller.return_basis())
+    caller2.run_primal_simplex()
+    assert caller2.return_iter_count() <= 1
+    assert caller2.return_obj_val() == pytest.approx(ref.fun, abs=1e-7)
+
+
+def test_caller_mcf_and_roundtrip(rng, tmp_path):
+    ot = random_ot(rng, 5, 6)
+    caller = SolverCaller()
+    caller.read_ot(ot)
+    caller.run_network_simplex()
+    assert caller.return_status() == "OPTIMAL"
+    # model export surface
+    glp = caller.return_genlp()
+    assert glp.m == ot.m and glp.n == ot.n
+    assert caller.get_A().shape == (ot.m, ot.n)
+
+
+def test_caller_mps_file(tmp_path, rng):
+    from smart_crossover_tpu.data.lp_gen import random_sparse_lp
+    from smart_crossover_tpu.data.mps_write import write_mps
+
+    lp = random_sparse_lp(m=20, n=50, seed=1)
+    p = tmp_path / "t.mps"
+    write_mps(lp, p)
+    caller = SolverCaller()
+    caller.read_model_from_file(str(p))
+    caller.run_simplex()
+    assert caller.return_status() == "OPTIMAL"
+
+
+def test_filehandler(tmp_path):
+    from smart_crossover_tpu.data.filehandling import FileHandler
+    from smart_crossover_tpu.data.lp_gen import optlp_like_suite
+
+    optlp_like_suite(tmp_path, num=2, m=20, n=60)
+    fh = FileHandler(tmp_path)
+    assert len(fh.model_paths()) == 2
+    lps = fh.read_all()
+    rep = fh.get_model_report(lps[0])
+    assert rep["rows"] == 20 and rep["cols"] == 60
+    written = fh.write_presolved_models(tmp_path / "presolved")
+    assert len(written) == 2
+    from smart_crossover_tpu.data.mps import read_mps
+
+    red = read_mps(written[0])
+    assert red.n <= 60
+
+
+def test_bad_solver_name():
+    with pytest.raises(ValueError):
+        generate_solver_caller("XPRESS")
