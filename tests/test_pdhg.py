@@ -96,3 +96,23 @@ def test_solve_lp_first_order_method(rng):
     assert out.status == "OPTIMAL"
     assert out.obj_val == pytest.approx(ref.fun, abs=1e-3)
     assert out.x_bar is not None
+
+
+def test_pdhg_checkpoint_resume(rng, tmp_path):
+    from smart_crossover_tpu.utils.checkpoint import load_state, save_state
+
+    m, n = 8, 20
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    # phase 1: a short budget, checkpoint the iterate
+    part = pdhg_solve(A, b, c, np.zeros(n), np.ones(n), tol=1e-12,
+                      max_iters=2000)
+    save_state(tmp_path / "pdhg.npz", x=part.x, y=part.y)
+    # phase 2: resume from the checkpoint and finish
+    st = load_state(tmp_path / "pdhg.npz")
+    done = pdhg_solve(A, b, c, np.zeros(n), np.ones(n), tol=1e-7,
+                      max_iters=200_000, x0=st["x"], y0=st["y"])
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert done.status == "OPTIMAL"
+    assert done.obj_val == pytest.approx(ref.fun, abs=1e-4)
