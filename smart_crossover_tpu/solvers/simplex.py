@@ -450,6 +450,18 @@ def dual_simplex(A, b, c, l, u,
         t_step = (target - xb[r]) / (-alpha[e] * d_e)
         t_step = max(t_step, 0.0)
 
+        # dual bound flip: the entering variable may hit its own opposite
+        # bound before the leaving basic reaches its bound — then only the
+        # entering variable flips (no basis change) and we re-price
+        e_range = next_u[e] - next_l[e]
+        if np.isfinite(e_range) and t_step > e_range + 1e-12:
+            dxb = lu.solve(
+                -np.asarray(Aext[:, e].todense()).ravel() * d_e)
+            x[e] += d_e * e_range
+            x[basic] = xb + e_range * dxb
+            st[e] = ST_UPPER if d_e > 0 else ST_LOWER
+            continue
+
         dxb = lu.solve(-np.asarray(Aext[:, e].todense()).ravel() * d_e)
         x[e] += d_e * t_step
         x[basic] = xb + t_step * dxb

@@ -61,3 +61,24 @@ def test_dual_simplex_from_optimal_basis_no_pivots(rng):
     assert res.status == "OPTIMAL"
     assert res.iter_count == 0
     assert res.obj_val == pytest.approx(base.obj_val, abs=1e-9)
+
+
+def test_dual_simplex_bound_flip_case(rng):
+    # narrow boxes force entering variables to hit their opposite bound
+    m, n = 5, 12
+    A = rng.standard_normal((m, n))
+    l = np.zeros(n)
+    u = np.full(n, 0.15)  # narrow
+    b = A @ rng.uniform(0.02, 0.13, n)
+    c = rng.standard_normal(n)
+    base = primal_simplex(A, b, c, l, u)
+    assert base.status == "OPTIMAL"
+    b2 = b + rng.uniform(-0.08, 0.08, m)
+    res = dual_simplex(A, b2, c, l, u, vstatus=base.vstatus)
+    ref = linprog(c, A_eq=A, b_eq=b2, bounds=[(0, 0.15)] * n, method="highs")
+    if ref.status == 0:
+        assert res.status == "OPTIMAL"
+        assert res.obj_val == pytest.approx(ref.fun, abs=1e-7)
+        assert np.all(res.x >= -1e-9) and np.all(res.x <= 0.15 + 1e-9)
+    else:
+        assert res.status == "INFEASIBLE"
