@@ -30,11 +30,28 @@ def tree_basis_identify(ot_manager, flow_weights: np.ndarray) -> Tuple[Basis, in
     """
     ot = ot_manager.ot
     ns, nd = ot.s.size, ot.d.size
-    W = jnp.asarray(np.asarray(flow_weights).reshape(ns, nd))
-    X, push_iter = identify_tree_flows(W, jnp.asarray(ot.s), jnp.asarray(ot.d))
-    X = np.asarray(X)
+    # bucket the grid to multiples of 64 so instances of similar size share
+    # one compiled kernel; padding nodes carry epsilon mass and zero weight,
+    # and their (negligible) flows are sliced away — the warm-started
+    # network simplex repairs any padding-induced basis defect
+    pad = 64
+    ns_p = -(-ns // pad) * pad
+    nd_p = -(-nd // pad) * pad
+    eps = 1e-9
+    W = np.zeros((ns_p, nd_p))
+    W[:ns, :nd] = np.asarray(flow_weights).reshape(ns, nd)
+    s_p = np.full(ns_p, eps)
+    d_p = np.full(nd_p, eps)
+    s_p[:ns] = ot.s
+    d_p[:nd] = ot.d
+    # multiplicative rebalance so sum(s_p) == sum(d_p) (relative 1e-9-scale
+    # perturbation; the exact cleanup absorbs it)
+    d_p *= s_p.sum() / d_p.sum()
+    X, push_iter = identify_tree_flows(jnp.asarray(W), jnp.asarray(s_p),
+                                       jnp.asarray(d_p))
+    X = np.asarray(X)[:ns, :nd]
     vbasis = np.full(ns * nd, -1, dtype=np.int32)
-    vbasis[X.reshape(-1) > 0] = 0
+    vbasis[X.reshape(-1) > eps * 10] = 0
     cbasis = np.concatenate([-np.ones(ot_manager.m - 1, dtype=np.int32), [0]])
     return Basis(vbasis, cbasis), int(push_iter)
 
