@@ -58,13 +58,22 @@ def network_crossover(x: np.ndarray,
     timer.start()
     push_iter = 0
 
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
     if method in ("tnet", "cnet_ot"):
         if ot is None:
             raise ValueError(f"method {method!r} requires an OptTransport instance")
+        if x.size != ot.n:
+            raise ValueError(
+                f"x has {x.size} entries but the OT instance has "
+                f"{ot.n} arcs (s.size * d.size)")
         manager = OTManager(ot)
     elif method == "cnet_mcf":
         if mcf is None:
             raise ValueError("method 'cnet_mcf' requires a MinCostFlow instance")
+        if x.size != mcf.n:
+            raise ValueError(
+                f"x has {x.size} entries but the MCF instance has "
+                f"{mcf.n} arcs")
         manager = MCFManager(mcf)
     else:
         raise ValueError(

@@ -65,3 +65,12 @@ def test_crossover_rejects_bad_method(rng):
         network_crossover(x=np.zeros(9), ot=ot, method="nope")
     with pytest.raises(ValueError):
         network_crossover(x=np.zeros(9), method="tnet")
+
+
+def test_crossover_validates_x_length(rng):
+    ot = random_ot(rng, 4, 4)
+    with pytest.raises(ValueError, match="arcs"):
+        network_crossover(x=np.zeros(7), ot=ot, method="tnet")
+    mcf = ot.to_MCF()
+    with pytest.raises(ValueError, match="arcs"):
+        network_crossover(x=np.zeros(3), mcf=mcf, method="cnet_mcf")
