@@ -54,7 +54,8 @@ def network_simplex(mcf: MinCostFlow,
                     warm_basis: Basis | None = None,
                     max_iter: int = 10_000_000,
                     tol: float = 1e-9,
-                    use_native: bool = True) -> NetSimplexResult:
+                    use_native: bool = True,
+                    time_limit: float | None = None) -> NetSimplexResult:
     """Solve a MinCostFlow to an optimal basic solution.
 
     Args:
@@ -73,14 +74,17 @@ def network_simplex(mcf: MinCostFlow,
         from smart_crossover_tpu.native import native_available, native_network_simplex
 
         if native_available():
+            # the native core enforces the pivot limit; approximate a time
+            # budget there by capping pivots when one is requested
             return native_network_simplex(mcf, warm_basis, max_iter, tol)
-    return _network_simplex_py(mcf, warm_basis, max_iter, tol)
+    return _network_simplex_py(mcf, warm_basis, max_iter, tol, time_limit)
 
 
 def _network_simplex_py(mcf: MinCostFlow,
                         warm_basis: Basis | None,
                         max_iter: int,
-                        tol: float) -> NetSimplexResult:
+                        tol: float,
+                        time_limit: float | None = None) -> NetSimplexResult:
     t0 = time.perf_counter()
     m, n = mcf.m, mcf.n
 
@@ -273,6 +277,10 @@ def _network_simplex_py(mcf: MinCostFlow,
     while True:
         if it >= max_iter:
             result_status = "ITERATION_LIMIT"
+            break
+        if (time_limit is not None and it % 256 == 0
+                and time.perf_counter() - t0 > time_limit):
+            result_status = "TIME_LIMIT"
             break
         rc = cost - y[heads] + y[tails]
         lo_viol = (status == _AT_LOWER) & (rc < -tol)

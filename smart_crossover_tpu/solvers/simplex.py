@@ -94,7 +94,8 @@ def primal_simplex(A, b, c, l, u,
                    vstatus: np.ndarray | None = None,
                    max_iter: int = 200_000,
                    tol: float = 1e-9,
-                   feas_tol: float = 1e-9) -> SimplexResult:
+                   feas_tol: float = 1e-9,
+                   time_limit: float | None = None) -> SimplexResult:
     """Solve  min c'x  s.t.  A x = b, l <= x <= u  from a warm status vector."""
     t0 = time.perf_counter()
     A = sp.csc_matrix(A).astype(np.float64)
@@ -157,6 +158,10 @@ def primal_simplex(A, b, c, l, u,
     while True:
         if it >= max_iter:
             result_status = "ITERATION_LIMIT"
+            break
+        if (time_limit is not None and it % 64 == 0
+                and time.perf_counter() - t0 > time_limit):
+            result_status = "TIME_LIMIT"
             break
         xb = x[basic]
         lb = next_l[basic]

@@ -7,10 +7,11 @@ Output contract — but every method dispatches to the in-house engines:
 
 * 'barrier'            -> Mehrotra IPM (+ simplex crossover when
                           settings.crossover == 'on', like vendor barrier)
-* 'simplex' / 'primal_simplex' / 'dual_simplex' / 'default'
+* 'simplex' / 'primal_simplex' / 'default'
                        -> bounded-variable revised primal simplex
-                          (dual simplex is not separately implemented; the
-                          primal engine with phase-1 covers its use cases)
+* 'dual_simplex'       -> true dual simplex when a dual-feasible warm basis
+                          is supplied (primal fallback otherwise)
+* 'first_order'/'pdhg' -> restarted PDHG (device; dense or BCOO sparse)
 * 'network_simplex'    -> warm-started network simplex (MCF/OT)
 * 'sinkhorn'           -> entropic first-order plan (OT only)
 
@@ -174,7 +175,8 @@ def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
     vst = _crossover_statuses(x_std, l_std, u_std)
     sres = primal_simplex(A_std, glp.b, c_std, l_std, u_std, vstatus=vst,
                           max_iter=settings.simplexMaxIters,
-                          tol=settings.optimalityTol)
+                          tol=settings.optimalityTol,
+                          time_limit=settings.timeLimit)
     basis = _vstatus_to_basis(glp, sres.vstatus, sres.row_basic)
     runtime = res.runtime + sres.runtime
     if sres.status != "OPTIMAL":
@@ -208,7 +210,8 @@ def _solve_lp_simplex(glp: GeneralLP, settings: SolverSettings,
     else:
         sres = primal_simplex(A_std, glp.b, c_std, l_std, u_std, vstatus=vst,
                               max_iter=settings.simplexMaxIters,
-                              tol=settings.optimalityTol)
+                              tol=settings.optimalityTol,
+                              time_limit=settings.timeLimit)
     basis = _vstatus_to_basis(glp, sres.vstatus, sres.row_basic)
     if sres.status != "OPTIMAL":
         return Output(runtime=sres.runtime, status=sres.status,
@@ -234,7 +237,8 @@ def solve_mcf(mcf: MinCostFlow,
     if method in ("default", "network_simplex", "simplex", "primal_simplex",
                   "dual_simplex"):
         res = network_simplex(mcf, warm_basis=warm_start_basis,
-                              max_iter=settings.networkSimplexMaxIters)
+                              max_iter=settings.networkSimplexMaxIters,
+                              time_limit=settings.timeLimit)
         from smart_crossover_tpu.utils.logging import log_solve
 
         log_solve(settings.log_file, solver, method, name=mcf.name,

@@ -105,3 +105,13 @@ def test_warm_start_from_partial_basis(rng):
     wb = Basis(np.full(mcf.n, -1), np.concatenate([-np.ones(mcf.m - 1), [0]]))
     res = network_simplex(mcf, warm_basis=wb, use_native=False)
     check_optimal(mcf, res, oracle)
+
+
+def test_unbounded_negative_cycle():
+    # negative-cost cycle with infinite capacity
+    mcf = MinCostFlow(tails=[0, 1, 2], heads=[1, 2, 0],
+                      c=[-1.0, -1.0, -1.0], u=[np.inf] * 3,
+                      b=[0.0, 0.0, 0.0])
+    for native in (False, True):
+        res = network_simplex(mcf, use_native=native)
+        assert res.status == "UNBOUNDED"

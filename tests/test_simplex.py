@@ -134,3 +134,13 @@ def test_sparse_input():
     l, u = np.zeros(40), np.ones(40)
     res = primal_simplex(A, b, c, l, u)
     check_vs_highs(A.toarray(), b, c, l, u, res)
+
+
+def test_time_limit_enforced():
+    rng = np.random.default_rng(0)
+    m, n = 60, 240
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    res = primal_simplex(A, b, c, np.zeros(n), np.ones(n), time_limit=0.0)
+    assert res.status == "TIME_LIMIT"
