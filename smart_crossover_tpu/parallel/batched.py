@@ -70,7 +70,8 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
     out_obj = np.empty(B)
     pivots = np.empty(B, dtype=np.int64)
     optimal = np.zeros(B, dtype=bool)
-    for i in range(B):
+
+    def cleanup(i: int) -> None:
         si = np.asarray(s[i], dtype=np.float64)
         di = np.asarray(d[i], dtype=np.float64)
         di = di * (si.sum() / di.sum())  # repair f32 mass-balance drift
@@ -83,6 +84,19 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
         out_obj[i] = res.obj_val
         pivots[i] = res.iter_count
         optimal[i] = res.status == "OPTIMAL"
+
+    # the native core releases the GIL during the ctypes call, so threads
+    # scale the host cleanup across cores
+    import concurrent.futures as cf
+    import os
+
+    workers = min(max(os.cpu_count() or 1, 1), 8)
+    if workers > 1 and B > 1:
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(cleanup, range(B)))
+    else:
+        for i in range(B):
+            cleanup(i)
     return out_X, out_obj, pivots, optimal
 
 
