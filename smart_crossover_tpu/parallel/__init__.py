@@ -10,6 +10,10 @@ from smart_crossover_tpu.parallel.mesh import (
     make_mesh,
 )
 from smart_crossover_tpu.parallel.pdhg_sharded import sharded_pdhg
+from smart_crossover_tpu.parallel.ranking_sharded import (
+    sharded_mcf_flow_indicators,
+    sharded_sorted_flows,
+)
 from smart_crossover_tpu.parallel.projector import (
     sharded_projector,
     sharded_sinkhorn_plan,
@@ -25,5 +29,7 @@ __all__ = [
     "tnet_single",
     "sharded_projector",
     "sharded_pdhg",
+    "sharded_mcf_flow_indicators",
+    "sharded_sorted_flows",
     "sharded_sinkhorn_plan",
 ]

@@ -115,3 +115,22 @@ def test_sharded_pdhg_matches_highs(rng):
     assert ref.status == 0
     assert abs(c @ x - ref.fun) < 2e-3 * (1 + abs(ref.fun))
     assert np.linalg.norm(A @ x - b) < 1e-3 * (1 + np.linalg.norm(b))
+
+
+def test_sharded_mcf_ranking_matches_single_device(rng):
+    from smart_crossover_tpu.ops.ranking import mcf_flow_indicators
+    from smart_crossover_tpu.parallel.ranking_sharded import (
+        sharded_mcf_flow_indicators,
+    )
+
+    mesh = make_mesh(n_batch=1, n_model=8)
+    m = 40
+    n = 8 * 64
+    tails = rng.integers(0, m, n)
+    heads = (tails + rng.integers(1, m, n)) % m
+    u = rng.uniform(0.5, 3.0, n)
+    x = rng.uniform(-0.2, 3.5, n)
+    got = np.asarray(sharded_mcf_flow_indicators(
+        mesh, x, tails, heads, u, m))
+    want = np.asarray(mcf_flow_indicators(x, tails, heads, u, m))
+    np.testing.assert_allclose(got, want, atol=1e-9)
