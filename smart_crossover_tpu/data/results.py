@@ -51,3 +51,22 @@ class ResultStore:
 
     def is_solved(self, instance: str, method: str | None = None) -> bool:
         return instance in self.solved(method)
+
+
+def write_results_to_pickle(obj, path) -> None:
+    """Legacy-compatible pickle result IO (reference filehandling.py:101-111).
+    Prefer ResultStore for new code."""
+    import pickle
+    from pathlib import Path
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as fh:
+        pickle.dump(obj, fh)
+
+
+def read_results_from_pickle(path):
+    import pickle
+
+    with open(path, "rb") as fh:
+        return pickle.load(fh)

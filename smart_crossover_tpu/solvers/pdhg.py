@@ -54,11 +54,17 @@ def estimate_opnorm(A, iters: int = 50, seed: int = 0):
 
 @partial(jax.jit, static_argnames=("max_iters", "check_every",
                                    "restart_period"))
-def _pdhg_core(A, b, c, l, u, is_eq, tau, sigma,
+def _pdhg_core(A, b, c, l, u, is_eq, opnorm,
                x0, y0,
                max_iters: int, check_every: int, restart_period: int,
                tol: float):
-    """Core loop. Returns (x_avg, y_avg, iters, converged)."""
+    """Core loop with PDLP-style adaptive primal weight.
+
+    The primal weight omega balances the step sizes (tau = 0.9*omega/||A||,
+    sigma = 0.9/(omega*||A||)); after each restart window it moves toward
+    the observed dual/primal movement ratio, which is what makes restarted
+    PDHG robust across badly scaled instances.
+    Returns (x, y, iters, converged)."""
 
     def proj_x(x):
         return jnp.clip(x, l, u)
@@ -94,17 +100,22 @@ def _pdhg_core(A, b, c, l, u, is_eq, tau, sigma,
         return pres, dres, gap
 
     def one_iter(carry, _):
-        x, y, xs, ys, cnt = carry
+        x, y, xs, ys, cnt, tau, sigma = carry
         x_new = proj_x(x - tau * (c - A.T @ y))
         x_bar = 2.0 * x_new - x
         y_new = proj_y(y + sigma * (b - A @ x_bar))
-        return (x_new, y_new, xs + x_new, ys + y_new, cnt + 1), None
+        return (x_new, y_new, xs + x_new, ys + y_new, cnt + 1,
+                tau, sigma), None
 
     def outer_body(state):
-        x, y, it, best_x, best_y, best_score, done = state
+        x, y, it, best_x, best_y, best_score, omega, done = state
+        tau = 0.9 * omega / opnorm
+        sigma = 0.9 / (omega * opnorm)
+        x_start, y_start = x, y
         # one restart window of `restart_period` iterations with averaging
-        (x, y, xs, ys, cnt), _ = jax.lax.scan(
-            one_iter, (x, y, jnp.zeros_like(x), jnp.zeros_like(y), 0),
+        (x, y, xs, ys, cnt, _, _), _ = jax.lax.scan(
+            one_iter, (x, y, jnp.zeros_like(x), jnp.zeros_like(y), 0,
+                       tau, sigma),
             None, length=restart_period)
         x_avg = xs / cnt
         y_avg = ys / cnt
@@ -125,29 +136,75 @@ def _pdhg_core(A, b, c, l, u, is_eq, tau, sigma,
         best_y = jnp.where(improved, y, best_y)
         best_score = jnp.minimum(score, best_score)
         done = (pres < tol) & (dres < tol) & (gap < tol)
-        return x, y, it + restart_period, best_x, best_y, best_score, done
+        # primal-weight update from the window's movement ratio
+        dx_move = jnp.linalg.norm(x - x_start)
+        dy_move = jnp.linalg.norm(y - y_start)
+        valid = (dx_move > 1e-12) & (dy_move > 1e-12)
+        log_ratio = jnp.log(jnp.where(valid, dy_move / dx_move, 1.0))
+        omega = jnp.where(
+            valid,
+            jnp.exp(0.5 * log_ratio + 0.5 * jnp.log(omega)),
+            omega)
+        omega = jnp.clip(omega, 1e-4, 1e4)
+        return (x, y, it + restart_period, best_x, best_y, best_score,
+                omega, done)
 
     def cond(state):
-        _, _, it, _, _, _, done = state
+        *_, done = state
+        it = state[2]
         return (~done) & (it < max_iters)
 
     state = (x0, y0, jnp.asarray(0), x0, y0, jnp.asarray(jnp.inf),
+             jnp.asarray(1.0, A.dtype if hasattr(A, "dtype") else jnp.float64),
              jnp.asarray(False))
-    x, y, it, best_x, best_y, _, done = jax.lax.while_loop(
+    x, y, it, best_x, best_y, _, _, done = jax.lax.while_loop(
         cond, outer_body, state)
     # final iterates, not best: the last restart point is the converged one
     return x, y, it, done
+
+
+def _ruiz_equilibrate(A, iters: int = 10):
+    """Ruiz diagonal equilibration: returns (R, C) with R A C well scaled."""
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(A, jsparse.BCOO):
+        rows = np.asarray(A.indices[:, 0])
+        cols = np.asarray(A.indices[:, 1])
+        data = np.asarray(A.data, dtype=np.float64)
+        m, n = A.shape
+        R = np.ones(m)
+        C = np.ones(n)
+        for _ in range(iters):
+            v = np.abs(data) * R[rows] * C[cols]
+            rmax = np.zeros(m)
+            np.maximum.at(rmax, rows, v)
+            R /= np.where(rmax > 0, np.sqrt(rmax), 1.0)
+            v = np.abs(data) * R[rows] * C[cols]
+            cmax = np.zeros(n)
+            np.maximum.at(cmax, cols, v)
+            C /= np.where(cmax > 0, np.sqrt(cmax), 1.0)
+        return R, C
+    An = np.abs(np.asarray(A, dtype=np.float64))
+    m, n = An.shape
+    R = np.ones(m)
+    C = np.ones(n)
+    for _ in range(iters):
+        rmax = (An * R[:, None] * C[None, :]).max(axis=1)
+        R /= np.where(rmax > 0, np.sqrt(rmax), 1.0)
+        cmax = (An * R[:, None] * C[None, :]).max(axis=0)
+        C /= np.where(cmax > 0, np.sqrt(cmax), 1.0)
+    return R, C
 
 
 def pdhg_solve(A, b, c, l, u, sense=None,
                tol: float = 1e-6,
                max_iters: int = 100_000,
                restart_period: int = 200,
-               x0=None, y0=None) -> PDHGResult:
-    """Solve an LP with restarted PDHG.
+               x0=None, y0=None, rescale: bool = True) -> PDHGResult:
+    """Solve an LP with restarted PDHG (Ruiz-equilibrated by default).
 
     Args:
-        A: (m, n) dense array (jnp/np).
+        A: (m, n) dense array (jnp/np) or BCOO.
         sense: length-m array of '='/'<' (None = all equality).
     """
     t0 = time.perf_counter()
@@ -156,6 +213,27 @@ def pdhg_solve(A, b, c, l, u, sense=None,
     if not isinstance(A, jsparse.BCOO):
         A = jnp.asarray(A)
     m, n = A.shape
+    b_in = np.asarray(b, dtype=np.float64)
+    c_in = np.asarray(c, dtype=np.float64)
+
+    R = C = None
+    if rescale:
+        R, C = _ruiz_equilibrate(A)
+        if isinstance(A, jsparse.BCOO):
+            data = A.data * jnp.asarray(R)[A.indices[:, 0]] \
+                * jnp.asarray(C)[A.indices[:, 1]]
+            A = jsparse.BCOO((data, A.indices), shape=A.shape)
+        else:
+            A = A * jnp.asarray(R)[:, None] * jnp.asarray(C)[None, :]
+        b = np.asarray(b, dtype=np.float64) * R
+        c = np.asarray(c, dtype=np.float64) * C
+        with np.errstate(invalid="ignore"):
+            l = np.asarray(l, dtype=np.float64) / C
+            u = np.asarray(u, dtype=np.float64) / C
+        if x0 is not None:
+            x0 = np.asarray(x0, dtype=np.float64) / C
+        if y0 is not None:
+            y0 = np.asarray(y0, dtype=np.float64) / R
     dtype = A.dtype
     b = jnp.asarray(b, dtype=dtype)
     c = jnp.asarray(c, dtype=dtype)
@@ -167,8 +245,6 @@ def pdhg_solve(A, b, c, l, u, sense=None,
         is_eq = jnp.asarray(np.asarray(sense) == "=")
 
     opnorm = estimate_opnorm(A)
-    tau = 0.9 / opnorm
-    sigma = 0.9 / opnorm
 
     if x0 is None:
         x0 = jnp.clip(jnp.zeros(n, dtype=dtype), l, u)
@@ -180,11 +256,15 @@ def pdhg_solve(A, b, c, l, u, sense=None,
         y0 = jnp.asarray(y0, dtype=dtype)
 
     x, y, iters, done = _pdhg_core(
-        A, b, c, l, u, is_eq, tau, sigma, x0, y0,
+        A, b, c, l, u, is_eq, opnorm, x0, y0,
         max_iters=max_iters, check_every=restart_period,
         restart_period=restart_period, tol=tol)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
+    # residuals below are measured in the (well-conditioned) scaled space;
+    # the returned x, y, obj_val are unscaled to the original problem
+    x_out = x * C if rescale else x
+    y_out = y * R if rescale else y
 
     # final residuals (host, f64)
     if isinstance(A, jsparse.BCOO):
@@ -201,10 +281,10 @@ def pdhg_solve(A, b, c, l, u, sense=None,
         eq = np.asarray(is_eq)
         pres = float(np.linalg.norm(np.where(eq, An_r, np.maximum(An_r, 0.0)))
                      / (1.0 + np.linalg.norm(b)))
-        obj = float(np.asarray(c) @ x)
+        obj = float(c_in @ x_out)
         status = "OPTIMAL" if bool(done) else "ITERATION_LIMIT"
-        return PDHGResult(x=x, y=y, obj_val=obj, iter_count=int(iters),
-                          status=status,
+        return PDHGResult(x=x_out, y=y_out, obj_val=obj,
+                          iter_count=int(iters), status=status,
                           runtime=datetime.timedelta(
                               seconds=time.perf_counter() - t0),
                           primal_residual=pres, dual_residual=float("nan"),
@@ -221,9 +301,9 @@ def pdhg_solve(A, b, c, l, u, sense=None,
     dviol = np.where(lo_ok, np.minimum(rc, 0.0),
                      np.where(up_ok, np.maximum(rc, 0.0), rc))
     dres = float(np.linalg.norm(dviol) / (1.0 + np.linalg.norm(c)))
-    obj = float(np.asarray(c) @ x)
+    obj = float(c_in @ x_out)
     status = "OPTIMAL" if bool(done) else "ITERATION_LIMIT"
-    return PDHGResult(x=x, y=y, obj_val=obj, iter_count=int(iters),
+    return PDHGResult(x=x_out, y=y_out, obj_val=obj, iter_count=int(iters),
                       status=status,
                       runtime=datetime.timedelta(
                           seconds=time.perf_counter() - t0),
