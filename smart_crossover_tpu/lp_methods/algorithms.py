@@ -56,7 +56,7 @@ def run_perturb_algorithm(lp: GeneralLP,
         lp, solver, method="barrier",
         settings=SolverSettings(barrierTol=barrierTol, presolve="on",
                                 crossover="off", log_file=log_file))
-    if barrier_output.status != "OPTIMAL":
+    if barrier_output.status not in ("OPTIMAL", "NEAR_OPTIMAL"):
         return barrier_output
 
     is_feas_problem = check_feasibility_problem(lp)

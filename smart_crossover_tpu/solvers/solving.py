@@ -156,7 +156,15 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
 def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
                       warm_start_solution=None) -> Output:
     res = ipm_general_lp(glp, tol=settings.barrierTol)
-    if res.status != "OPTIMAL":
+    status = res.status
+    if status in ("STALLED", "ITERATION_LIMIT") and res.x is not None:
+        # the IPM returns its best iterate; if it is moderately feasible it
+        # is still a usable interior point for crossover purposes
+        pres = (np.linalg.norm(glp.get_primal_slack(res.x)[glp.sense == "="])
+                / (1.0 + np.linalg.norm(glp.b)))
+        if np.isfinite(pres) and pres < 1e-5:
+            status = "NEAR_OPTIMAL"
+    if status not in ("OPTIMAL", "NEAR_OPTIMAL"):
         return Output(runtime=res.runtime, status=res.status,
                       bar_iter_count=res.iter_count)
     x_bar = res.x
@@ -165,7 +173,7 @@ def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
         return Output(x=x_bar, y=res.y, x_bar=x_bar, obj_val=res.obj_val,
                       runtime=res.runtime, iter_count=0,
                       bar_iter_count=res.iter_count, rcost=rcost,
-                      status="OPTIMAL")
+                      status=status)
 
     # crossover: classify the interior point, then simplex-clean to a vertex
     A_std = glp.get_standard_A()
@@ -182,6 +190,8 @@ def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
     if sres.status != "OPTIMAL":
         return Output(runtime=runtime, status=sres.status,
                       bar_iter_count=res.iter_count, iter_count=sres.iter_count)
+    # the simplex cleanup certifies exact optimality regardless of whether
+    # the barrier stopped at OPTIMAL or NEAR_OPTIMAL
     return Output(x=sres.x[:glp.n], y=sres.y, x_bar=x_bar,
                   obj_val=float(glp.c @ sres.x[:glp.n]),
                   runtime=runtime, iter_count=sres.iter_count,

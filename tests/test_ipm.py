@@ -89,7 +89,8 @@ def test_ipm_general_lp_with_ineq(rng):
 def test_ipm_detects_unbounded():
     A = np.array([[1.0, -1.0]])
     res = ipm_solve(A, [0.0], [-1.0, 0.0], np.zeros(2), np.full(2, np.inf))
-    assert res.status in ("UNBOUNDED", "NUMERICAL_ERROR", "ITERATION_LIMIT")
+    assert res.status in ("UNBOUNDED", "NUMERICAL_ERROR",
+                          "ITERATION_LIMIT", "STALLED")
     assert res.status != "OPTIMAL"
 
 
