@@ -260,6 +260,33 @@ def solve_mcf(mcf: MinCostFlow,
         return Output(x=res.x, y=res.y, obj_val=res.obj_val,
                       runtime=res.runtime, iter_count=res.iter_count,
                       rcost=res.rcost, basis=res.basis, status=res.status)
+    if method in ("first_order", "pdhg") or (
+            method == "barrier" and mcf.m > 4000):
+        # Large networks: scipy's fill-reducing orderings blow up on graph
+        # Laplacians, so the matrix-free PDHG is the first-order engine of
+        # choice (the paper's algorithms explicitly accept FOM warm starts).
+        from jax.experimental import sparse as jsparse
+
+        from smart_crossover_tpu.solvers.pdhg import pdhg_solve
+
+        import scipy.sparse as ssp
+
+        A_b = jsparse.BCOO.from_scipy_sparse(ssp.csr_matrix(mcf.A))
+        res = pdhg_solve(A_b, mcf.b, mcf.c, np.zeros(mcf.n), mcf.u,
+                         tol=max(settings.barrierTol, 1e-7),
+                         max_iters=settings.firstOrderMaxIters)
+        out_interior = Output(x=res.x, y=res.y, x_bar=res.x,
+                              obj_val=res.obj_val, runtime=res.runtime,
+                              bar_iter_count=res.iter_count,
+                              status=res.status)
+        if settings.crossover != "on" or res.status != "OPTIMAL":
+            return out_interior
+        ns = network_simplex(mcf, max_iter=settings.networkSimplexMaxIters)
+        return Output(x=ns.x, y=ns.y, x_bar=res.x, obj_val=ns.obj_val,
+                      runtime=res.runtime + ns.runtime,
+                      iter_count=ns.iter_count,
+                      bar_iter_count=res.iter_count, rcost=ns.rcost,
+                      basis=ns.basis, status=ns.status)
     if method == "barrier":
         l = np.zeros(mcf.n)
         res = ipm_solve(mcf.A, mcf.b, mcf.c, l, mcf.u,
