@@ -90,7 +90,18 @@ def cpu_reference_pipeline(s, d, M, reg=0.05, sinkhorn_iters=200):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: repeat bench runs skip the ~30 s jit
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from smart_crossover_tpu.parallel.batched import batched_tnet
 

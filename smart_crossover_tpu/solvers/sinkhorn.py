@@ -163,6 +163,12 @@ def sinkhorn(ot, reg: float | None = None, num_iters: int = 1000,
     """
     from smart_crossover_tpu.parameters import SINKHORN_DEFAULT_REG
 
+    import numpy as _np
+
+    if _np.any(_np.asarray(ot.s) <= 0) or _np.any(_np.asarray(ot.d) <= 0):
+        raise ValueError(
+            "sinkhorn requires strictly positive supplies/demands; drop "
+            "zero-mass entries first (see data.ot_gen.images_to_ot)")
     if reg is None:
         reg = SINKHORN_DEFAULT_REG
     M = jnp.asarray(ot.M)
