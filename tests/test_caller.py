@@ -76,3 +76,20 @@ def test_filehandler(tmp_path):
 def test_bad_solver_name():
     with pytest.raises(ValueError):
         generate_solver_caller("XPRESS")
+
+
+def test_caller_barrier_no_crossover(rng):
+    from smart_crossover_tpu.models import GeneralLP
+
+    m, n = 5, 12
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    lp = GeneralLP(A=A, b=b, c=rng.standard_normal(n), l=np.zeros(n),
+                   u=np.ones(n), sense=np.full(m, "="))
+    caller = SolverCaller()
+    caller.read_genlp(lp)
+    caller.run_barrier_no_crossover()
+    assert caller.return_status() == "OPTIMAL"
+    assert caller.return_basis() is None       # no crossover -> no basis
+    x = caller.return_x()
+    assert np.all(x > 0) and np.all(x < 1)     # interior point

@@ -153,3 +153,19 @@ def test_perturb_crossover_degenerate_assignment():
     assert ori.status == ptb.status == "OPTIMAL"
     assert ptb.obj_val == pytest.approx(ori.obj_val, abs=1e-7)
     assert ptb.iter_count <= ori.iter_count
+
+
+def test_perturb_crossover_feasibility_problem_branch(rng):
+    # c exactly in the row space of A (all-'=' LP) -> feasibility problem:
+    # perturb_c takes the cheap c+p branch, no projector needed
+    m, n = 6, 14
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    y0 = rng.standard_normal(m)
+    lp = GeneralLP(A=A, b=b, c=A.T @ y0, l=np.zeros(n), u=np.ones(n),
+                   sense=np.full(m, "="))
+    assert check_feasibility_problem(lp)
+    out = run_perturb_algorithm(lp)
+    assert out.status == "OPTIMAL"
+    ref = highs_on_general(lp)
+    assert out.obj_val == pytest.approx(ref.fun, rel=1e-7, abs=1e-7)

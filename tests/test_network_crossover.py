@@ -74,3 +74,16 @@ def test_crossover_validates_x_length(rng):
     mcf = ot.to_MCF()
     with pytest.raises(ValueError, match="arcs"):
         network_crossover(x=np.zeros(3), mcf=mcf, method="cnet_mcf")
+
+
+def test_column_generation_queue_exhaustion(rng):
+    """Force CG failure by handing it an empty queue."""
+    from smart_crossover_tpu.network_methods import column_generation
+    from smart_crossover_tpu.network_methods.managers import OTManager
+
+    ot = random_ot(rng, 4, 4)
+    mgr = OTManager(ot)
+    mgr.get_mcf()
+    mgr.set_initial_basis()
+    out = column_generation(mgr, queue=np.array([], dtype=np.int64))
+    assert out.status == "CG_FAILED"
