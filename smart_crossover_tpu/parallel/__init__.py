@@ -1,3 +1,4 @@
+from smart_crossover_tpu.parallel.batched_lp import batched_lp_crossover
 from smart_crossover_tpu.parallel.batched import (
     batched_tnet,
     batched_tnet_exact,
@@ -25,6 +26,7 @@ __all__ = [
     "MODEL_AXIS",
     "batched_tnet",
     "batched_tnet_exact",
+    "batched_lp_crossover",
     "sharded_batched_tnet",
     "tnet_single",
     "sharded_projector",

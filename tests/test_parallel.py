@@ -134,3 +134,25 @@ def test_sharded_mcf_ranking_matches_single_device(rng):
         mesh, x, tails, heads, u, m))
     want = np.asarray(mcf_flow_indicators(x, tails, heads, u, m))
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_batched_lp_crossover_fleet(rng):
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.parallel.batched_lp import batched_lp_crossover
+
+    B, m, n = 6, 8, 20
+    As = rng.standard_normal((B, m, n))
+    xs = rng.uniform(0.2, 0.8, (B, n))
+    bs = np.einsum("bmn,bn->bm", As, xs)
+    cs = rng.standard_normal((B, n))
+    ls = np.zeros((B, n))
+    us = np.ones((B, n))
+    out = batched_lp_crossover(As, bs, cs, ls, us)
+    assert out["optimal"].all()
+    for i in range(B):
+        ref = linprog(cs[i], A_eq=As[i], b_eq=bs[i], bounds=[(0, 1)] * n,
+                      method="highs")
+        assert abs(out["obj"][i] - ref.fun) < 1e-7
+        # the warm start from the device interior point keeps pivots low
+    assert out["ipm_converged"].all()
