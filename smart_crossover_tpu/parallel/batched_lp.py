@@ -5,6 +5,10 @@ Cholesky on the MXU, solvers/ipm_batched.py); the host then crosses each
 instance over to an exact vertex with the warm-started revised simplex,
 threaded across cores.  No reference analog (it is single-instance,
 single-solver); this is the TPU-shaped way to run LP fleets.
+
+Note on precision: with x64 enabled (CPU) the default tol=1e-8 converges in
+8-15 IPM iterations.  On TPU (f32) loosen tol to ~1e-5 and lower
+max_ipm_iters — the host simplex cleanup restores exactness either way.
 """
 from __future__ import annotations
 
