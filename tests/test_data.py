@@ -168,3 +168,46 @@ def test_dimacs_roundtrip(tmp_path):
     r1 = network_simplex(mcf)
     r2 = network_simplex(mcf2)
     assert abs(r1.obj_val - r2.obj_val) < 1e-6
+
+
+def test_load_save_instance_roundtrip(tmp_path, rng):
+    from smart_crossover_tpu.data.loaders import load_instance, save_instance
+    from tests.conftest import random_ot
+
+    ot = random_ot(rng, 4, 5)
+    save_instance(ot, tmp_path / "a.ot")
+    ot2 = load_instance(tmp_path / "a.ot")
+    np.testing.assert_allclose(ot2.M, ot.M)
+    mcf = ot.to_MCF()
+    save_instance(mcf, tmp_path / "b.mcf")
+    mcf2 = load_instance(tmp_path / "b.mcf")
+    np.testing.assert_array_equal(mcf2.tails, mcf.tails)
+    with pytest.raises(ValueError):
+        load_instance(tmp_path / "c.xyz")
+
+
+def test_certificates(rng):
+    from smart_crossover_tpu.models import GeneralLP
+    from smart_crossover_tpu.solvers.certificates import certify_lp, certify_mcf
+    from smart_crossover_tpu.solvers.network_simplex import network_simplex
+    from smart_crossover_tpu.solvers.solving import solve_lp
+    from tests.conftest import random_ot
+
+    ot = random_ot(rng, 6, 7)
+    mcf = ot.to_MCF()
+    res = network_simplex(mcf)
+    cert = certify_mcf(mcf, res.x, res.y)
+    assert cert.optimal, cert
+    # a corrupted solution fails the certificate
+    bad = res.x.copy()
+    bad[0] += 0.5
+    assert not certify_mcf(mcf, bad, res.y).primal_feasible
+
+    m, n = 6, 15
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    lp = GeneralLP(A=A, b=b, c=rng.standard_normal(n), l=np.zeros(n),
+                   u=np.ones(n), sense=np.full(m, "="))
+    out = solve_lp(lp, method="simplex")
+    cert = certify_lp(lp, out.x, out.y)
+    assert cert.optimal, cert
