@@ -114,3 +114,30 @@ def sharded_batched_tnet(mesh, s, d, M, reg: float = 0.02,
     d = jax.device_put(d, shard)
     M = jax.device_put(M, shard)
     return fn(s, d, M)
+
+
+@partial(jax.jit, static_argnames=("reg", "sinkhorn_iters", "max_pivots"))
+def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
+                              sinkhorn_iters: int = 1000,
+                              max_pivots: int = 5000):
+    """EXACT batched OT crossover, fully device-resident.
+
+    The TNET pipeline identifies a feasible tree vertex per instance; its
+    support is completed to a spanning-tree basis (Borůvka over the support
+    indicator) and the batched device transportation simplex
+    (ops/transport_simplex.py) pivots to optimality — no host round trip.
+
+    Returns (X, obj, push_iters, pivots, optimal_mask).
+    """
+    from smart_crossover_tpu.ops.mst import boruvka_bipartite_mst
+    from smart_crossover_tpu.ops.transport_simplex import transport_simplex
+
+    def one(s_, d_, M_):
+        X0, push_iters, _ = tnet_single(s_, d_, M_, reg, sinkhorn_iters)
+        support = (X0 > 1e-12).astype(M_.dtype)
+        Bm = boruvka_bipartite_mst(support)
+        X, Bm2, pivots, optimal = transport_simplex(
+            X0, Bm, M_, s_, d_, max_pivots=max_pivots)
+        return X, jnp.sum(X * M_), push_iters, pivots, optimal
+
+    return jax.vmap(one)(s, d, M)
