@@ -2,6 +2,7 @@ from smart_crossover_tpu.parallel.batched_lp import batched_lp_crossover
 from smart_crossover_tpu.parallel.batched import (
     batched_tnet,
     batched_tnet_exact,
+    batched_tnet_exact_device,
     sharded_batched_tnet,
     tnet_single,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "batched_tnet",
     "batched_tnet_exact",
     "batched_lp_crossover",
+    "batched_tnet_exact_device",
     "sharded_batched_tnet",
     "tnet_single",
     "sharded_projector",
