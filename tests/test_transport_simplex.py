@@ -135,3 +135,20 @@ def test_batched_tnet_exact_device_pipeline(rng):
         Xi = np.asarray(X[i])
         np.testing.assert_allclose(Xi.sum(1), o.s, atol=1e-7)
         np.testing.assert_allclose(Xi.sum(0), o.d, atol=1e-7)
+
+
+def test_transport_simplex_degenerate_integer_costs():
+    rng = np.random.default_rng(3)
+    S = D = 7
+    s = np.ones(S)
+    d = np.ones(D)
+    M = rng.integers(1, 4, (S, D)).astype(float)  # heavy ties
+    from smart_crossover_tpu.models import OptTransport
+
+    ot = OptTransport(s=s, d=d, M=M)
+    X0, Bm0 = northwest_corner_basis(s, d)
+    X, Bm, pivots, optimal = transport_simplex(X0, Bm0, M, s, d,
+                                               max_pivots=2000)
+    assert bool(optimal)
+    assert float((np.asarray(X) * M).sum()) == pytest.approx(
+        lp_optimum(ot), abs=1e-7)
