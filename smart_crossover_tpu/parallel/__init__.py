@@ -16,6 +16,7 @@ from smart_crossover_tpu.parallel.ranking_sharded import (
     sharded_mcf_flow_indicators,
     sharded_sorted_flows,
 )
+from smart_crossover_tpu.parallel.tnet_sharded import sharded_tnet_single
 from smart_crossover_tpu.parallel.projector import (
     sharded_projector,
     sharded_sinkhorn_plan,
@@ -35,5 +36,6 @@ __all__ = [
     "sharded_pdhg",
     "sharded_mcf_flow_indicators",
     "sharded_sorted_flows",
+    "sharded_tnet_single",
     "sharded_sinkhorn_plan",
 ]

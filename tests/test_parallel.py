@@ -156,3 +156,26 @@ def test_batched_lp_crossover_fleet(rng):
         assert abs(out["obj"][i] - ref.fun) < 1e-7
         # the warm start from the device interior point keeps pivots low
     assert out["ipm_converged"].all()
+
+
+def test_sharded_tnet_single_instance(rng):
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.parallel.tnet_sharded import sharded_tnet_single
+
+    mesh = make_mesh(n_batch=1, n_model=8)
+    for seed in (0, 3):
+        ot = random_ot(np.random.default_rng(seed), 10, 16)
+        X, push_n = sharded_tnet_single(mesh, ot.s, ot.d, ot.M, reg=0.02,
+                                        sinkhorn_iters=300)
+        # feasible vertex of the full instance
+        np.testing.assert_allclose(X.sum(1), ot.s, atol=1e-8)
+        np.testing.assert_allclose(X.sum(0), ot.d, atol=1e-8)
+        assert X.min() >= -1e-10
+        assert (X > 1e-10).sum() <= 10 + 16 - 1
+        # objective sane: within a few % of the LP optimum (exactness comes
+        # from the downstream simplex; the identification is near-optimal)
+        mcf = ot.to_MCF()
+        ref = linprog(mcf.c, A_eq=mcf.A.toarray(), b_eq=mcf.b,
+                      bounds=[(0, None)] * mcf.n, method="highs")
+        assert (X * ot.M).sum() <= ref.fun * 1.10 + 1e-9
