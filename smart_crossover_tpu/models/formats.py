@@ -17,7 +17,7 @@ TPU-first rather than scipy-first:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Union
 
 import numpy as np

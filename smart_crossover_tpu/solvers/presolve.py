@@ -15,8 +15,6 @@ reduced primal solution back to the original variable space.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable
-
 import numpy as np
 import scipy.sparse as sp
 

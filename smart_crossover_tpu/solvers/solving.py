@@ -39,7 +39,6 @@ from smart_crossover_tpu.solvers.network_simplex import network_simplex
 from smart_crossover_tpu.solvers.settings import SolverSettings
 from smart_crossover_tpu.solvers.simplex import (
     ST_BASIC,
-    ST_FREE,
     ST_LOWER,
     ST_UPPER,
     primal_simplex,
