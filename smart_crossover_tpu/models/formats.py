@@ -12,8 +12,8 @@ TPU-first rather than scipy-first:
 * ``OptTransport`` keeps the dense (s, d, M) structure that batches/vmaps
   onto the MXU.
 * ``GeneralLP``/``StandardLP`` carry scipy-sparse (or dense) ``A`` on the
-  host control plane; device kernels consume them through linear-operator
-  adapters in :mod:`smart_crossover_tpu.ops.linops`.
+  host control plane; device engines consume them densely or as BCOO
+  (see solvers/pdhg.py).
 """
 from __future__ import annotations
 

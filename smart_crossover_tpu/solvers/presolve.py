@@ -78,7 +78,6 @@ def presolve_lp(lp: GeneralLP, tol: float = 1e-10,
                 fix_column(j, l[j])
                 changed = True
 
-        Am = A[:, col_alive] if changed else None
         # row nonzero counts over alive columns
         mask_cols = sp.diags(col_alive.astype(np.float64))
         nnz_per_row = np.asarray(
