@@ -159,7 +159,10 @@ def _pdhg_core(A, b, c, l, u, is_eq, opnorm,
              jnp.asarray(False))
     x, y, it, best_x, best_y, _, _, done = jax.lax.while_loop(
         cond, outer_body, state)
-    # final iterates, not best: the last restart point is the converged one
+    # converged -> the last restart point; iteration-limited -> the best
+    # iterate seen (late windows can wander on hard instances)
+    x = jnp.where(done, x, best_x)
+    y = jnp.where(done, y, best_y)
     return x, y, it, done
 
 
