@@ -77,6 +77,22 @@ class _BasisFactor:
         return self.lu.solve(w, trans="T")
 
 
+def _sanitize_vstatus(st: np.ndarray, l: np.ndarray, u: np.ndarray
+                      ) -> np.ndarray:
+    """Coerce an arbitrary status vector into valid {0,-1,-2,-3} codes
+    consistent with the bounds (garbage codes become at-a-finite-bound)."""
+    st = st.copy()
+    invalid = ~np.isin(st, (ST_BASIC, ST_LOWER, ST_UPPER, ST_FREE))
+    st[invalid] = ST_LOWER
+    bad_up = (st == ST_UPPER) & ~np.isfinite(u)
+    st[bad_up] = np.where(np.isfinite(l[bad_up]), ST_LOWER, ST_FREE)
+    bad_lo = (st == ST_LOWER) & ~np.isfinite(l)
+    st[bad_lo] = np.where(np.isfinite(u[bad_lo]), ST_UPPER, ST_FREE)
+    bad_free = (st == ST_FREE) & (np.isfinite(l) | np.isfinite(u))
+    st[bad_free] = np.where(np.isfinite(l[bad_free]), ST_LOWER, ST_UPPER)
+    return st
+
+
 @dataclass
 class SimplexResult:
     x: np.ndarray
@@ -119,12 +135,7 @@ def primal_simplex(A, b, c, l, u,
         st[n:] = ST_BASIC  # all-artificial start
     else:
         st = np.full(N, ST_LOWER, dtype=np.int8)
-        st[:n] = np.asarray(vstatus, dtype=np.int8)
-        # sanitise: at-upper without finite upper -> free or lower
-        bad_up = (st[:n] == ST_UPPER) & ~np.isfinite(u)
-        st[:n][bad_up] = np.where(np.isfinite(l[bad_up]), ST_LOWER, ST_FREE)
-        bad_lo = (st[:n] == ST_LOWER) & ~np.isfinite(l)
-        st[:n][bad_lo] = np.where(np.isfinite(u[bad_lo]), ST_UPPER, ST_FREE)
+        st[:n] = _sanitize_vstatus(np.asarray(vstatus, dtype=np.int8), l, u)
 
     basic = _repair_basis(Aext, np.where(st == ST_BASIC)[0], m, n)
     st[st == ST_BASIC] = ST_LOWER  # demoted candidates fall to a bound
@@ -371,11 +382,7 @@ def dual_simplex(A, b, c, l, u,
     N = n + m
 
     st = np.full(N, ST_LOWER, dtype=np.int8)
-    st[:n] = np.asarray(vstatus, dtype=np.int8)
-    bad_up = (st[:n] == ST_UPPER) & ~np.isfinite(u)
-    st[:n][bad_up] = np.where(np.isfinite(l[bad_up]), ST_LOWER, ST_FREE)
-    bad_lo = (st[:n] == ST_LOWER) & ~np.isfinite(l)
-    st[:n][bad_lo] = np.where(np.isfinite(u[bad_lo]), ST_UPPER, ST_FREE)
+    st[:n] = _sanitize_vstatus(np.asarray(vstatus, dtype=np.int8), l, u)
 
     basic = _repair_basis(Aext, np.where(st == ST_BASIC)[0], m, n)
     st[st == ST_BASIC] = ST_LOWER
