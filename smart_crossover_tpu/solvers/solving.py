@@ -326,5 +326,25 @@ def solve_ot(ot: OptTransport,
         return Output(x=x, x_bar=x, obj_val=float(ot.M.ravel() @ x),
                       runtime=rt, status="OPTIMAL",
                       bar_iter_count=settings.firstOrderMaxIters)
+    if method == "device_simplex":
+        # fully device-resident exact solve (TNET identification + batched
+        # transportation simplex); see ops/transport_simplex.py
+        import time
+
+        import numpy as _np
+
+        from smart_crossover_tpu.parallel.batched import (
+            batched_tnet_exact_device,
+        )
+
+        t0 = time.perf_counter()
+        X, obj, push, piv, opt = batched_tnet_exact_device(
+            ot.s[None], ot.d[None], ot.M[None],
+            reg=settings.sinkhornReg, sinkhorn_iters=1000)
+        rt = datetime.timedelta(seconds=time.perf_counter() - t0)
+        status = "OPTIMAL" if bool(_np.asarray(opt)[0]) else "ITERATION_LIMIT"
+        return Output(x=_np.asarray(X[0], dtype=_np.float64).ravel(),
+                      obj_val=float(obj[0]), runtime=rt,
+                      iter_count=int(piv[0]) + int(push[0]), status=status)
     return solve_mcf(ot.to_MCF(), solver=solver, method=method,
                      settings=settings, warm_start_basis=warm_start_basis)

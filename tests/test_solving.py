@@ -146,3 +146,12 @@ def test_solve_lp_dual_simplex_method(rng):
     if ref.status == "OPTIMAL":
         assert out.status == "OPTIMAL"
         assert out.obj_val == pytest.approx(ref.obj_val, abs=1e-7)
+
+
+def test_solve_ot_device_simplex_method(rng):
+    ot = random_ot(rng, 8, 9)
+    out = solve_ot(ot, method="device_simplex",
+                   settings=SolverSettings(sinkhornReg=0.01))
+    ref = solve_ot(ot, method="network_simplex")
+    assert out.status == "OPTIMAL"
+    assert out.obj_val == pytest.approx(ref.obj_val, abs=1e-7)
