@@ -1,7 +1,8 @@
 """Batched transportation simplex on device.
 
 The BASELINE north star asks for simplex pricing/ratio tests as batched
-device kernels.  For optimal transport (uncapacitated bipartite MCF) the
+device kernels (the capability the reference buys from vendor network
+simplex, reference net_manager.py:211-222).  For optimal transport (uncapacitated bipartite MCF) the
 whole primal network simplex vectorises:
 
 * potentials (u, v) by masked propagation over the basis tree
