@@ -82,8 +82,6 @@ def transport_simplex(X, Bm, M, s, d,
         (X_opt, Bm_opt, pivots, optimal_flag).
     """
     S, D = M.shape
-    rows = jnp.arange(S)
-    cols = jnp.arange(D)
 
     def body(state):
         X, Bm, it, _ = state
