@@ -44,16 +44,24 @@ def goto_like_mcf(width: int = 16, height: int = 16, extra_arc_factor: int = 4,
     # widen a random "highway" subset (long cheap-ish corridors)
     hw = rng.uniform(size=n) < 0.1
     cap[hw] = max_cap * 5
-    src = 0
-    sink = node(height // 2, width // 2)
-    # cap the requested supply by the trivial src/sink cut capacities so the
-    # instance is guaranteed-feasible (GOTO generators do the same)
-    out_cap = cap[tails == src].sum()
-    in_cap = cap[heads == sink].sum()
-    supply = min(supply, 0.5 * out_cap, 0.5 * in_cap)
+    # GOTO instances spread supply over many sources/sinks; a quarter of the
+    # nodes participate, each within its local cut capacity
+    k = max(m // 4, 1)
+    nodes_perm = rng.permutation(m)
+    sources = nodes_perm[:k]
+    sinks = nodes_perm[k:2 * k]
+    per_node = np.zeros(m)
+    for v in sources:
+        per_node[v] = -min(supply / k, 0.4 * cap[tails == v].sum())
+    for v in sinks:
+        per_node[v] = min(supply / k, 0.4 * cap[heads == v].sum())
+    # balance total supply and demand
+    tot_s = -per_node[per_node < 0].sum()
+    tot_d = per_node[per_node > 0].sum()
+    scale = min(tot_s, tot_d)
     b = np.zeros(m)
-    b[src] = -supply
-    b[sink] = supply
+    b[per_node < 0] = per_node[per_node < 0] * (scale / tot_s)
+    b[per_node > 0] = per_node[per_node > 0] * (scale / tot_d)
     if name is None:
         name = f"goto_like_{width}x{height}_s{seed}"
     return MinCostFlow(tails=tails, heads=heads, c=cost, u=cap, b=b,
