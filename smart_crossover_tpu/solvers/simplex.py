@@ -111,8 +111,14 @@ def primal_simplex(A, b, c, l, u,
                    max_iter: int = 200_000,
                    tol: float = 1e-9,
                    feas_tol: float = 1e-9,
-                   time_limit: float | None = None) -> SimplexResult:
-    """Solve  min c'x  s.t.  A x = b, l <= x <= u  from a warm status vector."""
+                   time_limit: float | None = None,
+                   pricing: str = "dantzig") -> SimplexResult:
+    """Solve  min c'x  s.t.  A x = b, l <= x <= u  from a warm status vector.
+
+    ``pricing='devex'`` enables Devex reference weights (the practical
+    steepest-edge approximation behind the reference's simplexPricing='SE'
+    option) — usually fewer pivots at one extra BTRAN per pivot.
+    """
     t0 = time.perf_counter()
     A = sp.csc_matrix(A).astype(np.float64)
     m, n = A.shape
@@ -160,6 +166,8 @@ def primal_simplex(A, b, c, l, u,
     x[basic] = lu.solve(b - Aext @ x)
 
     fixed_cols = np.isfinite(next_l) & np.isfinite(next_u) & (next_l == next_u)
+    devex = pricing == "devex"
+    dw = np.ones(N)  # Devex reference weights
 
     it = 0
     degen_run = 0
@@ -204,6 +212,11 @@ def primal_simplex(A, b, c, l, u,
         if degen_run > m + 200:
             cand = np.nonzero(viol > 0)[0]
             e = int(cand[0]) if cand.size else -1
+        elif devex:
+            score = np.where(viol > 0, viol * viol / dw, 0.0)
+            e = int(np.argmax(score))
+            if score[e] <= 0:
+                e = -1
         else:
             e = int(np.argmax(viol))
             if viol[e] <= 0:
@@ -283,6 +296,20 @@ def primal_simplex(A, b, c, l, u,
             if not np.isfinite(x[leaving]):
                 x[leaving] = 0.0
                 st[leaving] = ST_FREE
+            if devex:
+                # Devex update: weights of nonbasics grow with their pivot-row
+                # magnitude relative to the entering column's
+                rho = lu.solve(
+                    np.eye(1, m, leave_pos, dtype=np.float64).ravel(),
+                    trans="T")
+                alpha = Aext.T @ rho
+                ae_piv = dxb[leave_pos]
+                if abs(ae_piv) > 1e-12:
+                    ratio2 = (alpha / ae_piv) ** 2
+                    dw = np.maximum(dw, ratio2 * dw[e])
+                    dw[e] = max(dw[e], 1.0)
+                if np.max(dw) > 1e8:
+                    dw[:] = 1.0  # periodic reset for stability
             basic[leave_pos] = e
             # product-form update: v = B^{-1} a_e = -dxb / d_e
             v_eta = -dxb / d_e

@@ -144,3 +144,15 @@ def test_time_limit_enforced():
     c = rng.standard_normal(n)
     res = primal_simplex(A, b, c, np.zeros(n), np.ones(n), time_limit=0.0)
     assert res.status == "TIME_LIMIT"
+
+
+def test_devex_pricing_matches_and_saves_pivots():
+    rng = np.random.default_rng(9)
+    m, n = 30, 120
+    A = rng.standard_normal((m, n))
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    dz = primal_simplex(A, b, c, np.zeros(n), np.ones(n), pricing="dantzig")
+    dv = primal_simplex(A, b, c, np.zeros(n), np.ones(n), pricing="devex")
+    assert dz.status == dv.status == "OPTIMAL"
+    assert dv.obj_val == pytest.approx(dz.obj_val, abs=1e-8)
