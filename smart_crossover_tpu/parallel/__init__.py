@@ -16,6 +16,7 @@ from smart_crossover_tpu.parallel.ranking_sharded import (
     sharded_mcf_flow_indicators,
     sharded_sorted_flows,
 )
+from smart_crossover_tpu.parallel.scenarios import mcf_scenario_sweep
 from smart_crossover_tpu.parallel.tnet_sharded import sharded_tnet_single
 from smart_crossover_tpu.parallel.projector import (
     sharded_projector,
@@ -37,5 +38,6 @@ __all__ = [
     "sharded_mcf_flow_indicators",
     "sharded_sorted_flows",
     "sharded_tnet_single",
+    "mcf_scenario_sweep",
     "sharded_sinkhorn_plan",
 ]

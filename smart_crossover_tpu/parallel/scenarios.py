@@ -1,0 +1,68 @@
+"""Scenario sweeps: one network, many demand/cost scenarios.
+
+A production pattern the single-shot reference cannot express: re-solving
+the same min-cost-flow network across a batch of scenarios (demand vectors
+and/or cost vectors).  The native network simplex makes this cheap by
+warm-starting every scenario from the previous optimal basis — the classic
+few-pivots-per-scenario regime (the same property the crossover exploits).
+"""
+from __future__ import annotations
+
+import datetime
+import time
+
+import numpy as np
+
+from smart_crossover_tpu.models import MinCostFlow
+from smart_crossover_tpu.solvers.network_simplex import network_simplex
+
+
+def mcf_scenario_sweep(mcf: MinCostFlow,
+                       b_scenarios: np.ndarray | None = None,
+                       c_scenarios: np.ndarray | None = None,
+                       warm_chain: bool = True):
+    """Solve a family of MCFs sharing the arc structure.
+
+    Args:
+        mcf: the base instance (its b/c are scenario 0 defaults).
+        b_scenarios: optional (K, m) demand vectors (each summing to 0).
+        c_scenarios: optional (K, n) cost vectors.
+        warm_chain: warm-start each scenario from the previous basis.
+
+    Returns:
+        dict with x (K, n), obj (K,), pivots (K,), status (list), runtime.
+    """
+    t0 = time.perf_counter()
+    K = None
+    if b_scenarios is not None:
+        b_scenarios = np.asarray(b_scenarios, dtype=np.float64)
+        K = b_scenarios.shape[0]
+    if c_scenarios is not None:
+        c_scenarios = np.asarray(c_scenarios, dtype=np.float64)
+        K = c_scenarios.shape[0] if K is None else K
+        if b_scenarios is not None and c_scenarios.shape[0] != K:
+            raise ValueError("b_scenarios and c_scenarios disagree on K")
+    if K is None:
+        raise ValueError("provide b_scenarios and/or c_scenarios")
+
+    x = np.empty((K, mcf.n))
+    obj = np.empty(K)
+    pivots = np.empty(K, dtype=np.int64)
+    statuses = []
+    basis = None
+    for k in range(K):
+        inst = MinCostFlow(
+            tails=mcf.tails, heads=mcf.heads,
+            c=c_scenarios[k] if c_scenarios is not None else mcf.c,
+            u=mcf.u,
+            b=b_scenarios[k] if b_scenarios is not None else mcf.b,
+            name=f"{mcf.name}_scen{k}")
+        res = network_simplex(inst, warm_basis=basis if warm_chain else None)
+        x[k] = res.x
+        obj[k] = res.obj_val
+        pivots[k] = res.iter_count
+        statuses.append(res.status)
+        if warm_chain and res.status == "OPTIMAL":
+            basis = res.basis
+    return {"x": x, "obj": obj, "pivots": pivots, "status": statuses,
+            "runtime": datetime.timedelta(seconds=time.perf_counter() - t0)}

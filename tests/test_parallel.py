@@ -179,3 +179,27 @@ def test_sharded_tnet_single_instance(rng):
         ref = linprog(mcf.c, A_eq=mcf.A.toarray(), b_eq=mcf.b,
                       bounds=[(0, None)] * mcf.n, method="highs")
         assert (X * ot.M).sum() <= ref.fun * 1.10 + 1e-9
+
+
+def test_mcf_scenario_sweep_warm_chain(rng):
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.data.mcf_gen import transshipment_mcf
+    from smart_crossover_tpu.parallel.scenarios import mcf_scenario_sweep
+
+    mcf = transshipment_mcf(m=60, seed=2)
+    K = 6
+    # smoothly drifting demand scenarios (balanced)
+    bs = np.stack([mcf.b * (1.0 + 0.02 * k) for k in range(K)])
+    warm = mcf_scenario_sweep(mcf, b_scenarios=bs, warm_chain=True)
+    cold = mcf_scenario_sweep(mcf, b_scenarios=bs, warm_chain=False)
+    assert all(s == "OPTIMAL" for s in warm["status"])
+    np.testing.assert_allclose(warm["obj"], cold["obj"], rtol=1e-9)
+    # chained warm starts do far less work after the first scenario
+    assert warm["pivots"][1:].sum() < 0.5 * cold["pivots"][1:].sum()
+    # spot-check one scenario vs HiGHS
+    inst_b = bs[3]
+    ref = linprog(mcf.c, A_eq=mcf.A.toarray(), b_eq=inst_b,
+                  bounds=[(0, ub) for ub in mcf.u], method="highs")
+    assert ref.status == 0
+    assert abs(warm["obj"][3] - ref.fun) < 1e-7
