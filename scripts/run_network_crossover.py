@@ -96,18 +96,31 @@ def run_instance(name, inst, methods, store, settings, barrier_tol):
 
 
 def run_total(name, inst, methods, store, settings):
-    """End-to-end mode: Sinkhorn + crossover vs cold network simplex."""
-    assert isinstance(inst, OptTransport)
-    cold = solve_ot(inst, method="network_simplex")
+    """End-to-end mode: first-order warm start + crossover vs cold network
+    simplex (Sinkhorn for OT, matrix-free PDHG for MCF)."""
+    if isinstance(inst, OptTransport):
+        cold = solve_ot(inst, method="network_simplex")
+    else:
+        cold = solve_mcf(inst, method="network_simplex")
     store.record(name, "cold_network_simplex", status=cold.status,
                  runtime=cold.runtime, obj_val=cold.obj_val,
                  iter_count=cold.iter_count)
-    x = sinkhorn(inst, reg=0.01, num_iters=1000)
-    for method in methods:
-        if method == "cnet_mcf":
-            continue
-        out = network_crossover(x=x, ot=inst, method=method,
-                                solver_settings=settings)
+    if isinstance(inst, OptTransport):
+        x = sinkhorn(inst, reg=0.01, num_iters=1000)
+        run_methods = [m for m in methods if m != "cnet_mcf"]
+        kwargs = {"ot": inst}
+    else:
+        fo = solve_mcf(inst, method="first_order",
+                       settings=SolverSettings(crossover="off",
+                                               firstOrderMaxIters=20_000))
+        import numpy as _np
+
+        x = _np.clip(fo.x, 0, None)
+        run_methods = ["cnet_mcf"]
+        kwargs = {"mcf": inst}
+    for method in run_methods:
+        out = network_crossover(x=x, method=method,
+                                solver_settings=settings, **kwargs)
         store.record(name, f"total_{method}", status=out.status,
                      runtime=out.runtime, obj_val=out.obj_val,
                      iter_count=out.iter_count)
