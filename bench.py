@@ -89,8 +89,39 @@ def cpu_reference_pipeline(s, d, M, reg=0.05, sinkhorn_iters=200):
     return Xt
 
 
+def _device_responsive(timeout: float = 240.0) -> bool:
+    """Probe the default JAX device in a SUBPROCESS: the relay-attached TPU
+    in this environment can wedge (a hung dispatch can't be interrupted
+    in-process), and a wedged chip must not stall the benchmark."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+             "print('devok')"],
+            timeout=timeout, capture_output=True, env=dict(os.environ))
+        return r.returncode == 0 and b"devok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
+    import sys
+
+    if os.environ.get("SCX_BENCH_NO_PROBE") != "1" and not _device_responsive():
+        # fall back to CPU so the driver still gets a benchmark line
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""   # disable the TPU plugin relay
+        env["SCX_BENCH_NO_PROBE"] = "1"
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                  env)
 
     import jax
 
