@@ -442,6 +442,7 @@ def dual_simplex(A, b, c, l, u,
 
     it = 0
     result_status = "OPTIMAL"
+    drw = np.ones(m)   # dual-Devex row reference weights
     while True:
         if it >= max_iter:
             result_status = "ITERATION_LIMIT"
@@ -452,7 +453,9 @@ def dual_simplex(A, b, c, l, u,
         below = np.where(np.isfinite(lb), lb - xb, -np.inf)
         above = np.where(np.isfinite(ub), xb - ub, -np.inf)
         viol = np.maximum(below, above)
-        r = int(np.argmax(viol))
+        # dual-Devex row choice: largest scaled squared infeasibility
+        score = np.where(viol > feas_tol, viol * viol / drw, -np.inf)
+        r = int(np.argmax(score))
         if viol[r] <= feas_tol:
             break  # primal feasible + dual feasible -> optimal
         it += 1
@@ -510,6 +513,14 @@ def dual_simplex(A, b, c, l, u,
         x[leaving] = target
         st[e] = ST_BASIC
         basic[r] = e
+        # dual-Devex weight update from the pivot column direction
+        ae_piv = dxb[r]
+        if abs(ae_piv) > 1e-12:
+            ratio2 = (dxb / ae_piv) ** 2
+            drw = np.maximum(drw, ratio2 * drw[r])
+            drw[r] = max(drw[r], 1.0)
+            if drw.max() > 1e8:
+                drw[:] = 1.0
         v_eta = -dxb / d_e
         try:
             lu.update(basic, r, v_eta)
