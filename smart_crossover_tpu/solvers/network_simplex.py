@@ -126,6 +126,7 @@ def _network_simplex_py(mcf: MinCostFlow,
     parent_arc = np.full(m, -1, dtype=np.int64)
     depth = np.zeros(m, dtype=np.int64)
     y = np.zeros(m)
+    children: list = []
 
     # ---- helpers -----------------------------------------------------------
     def rebuild_tree_from_status() -> bool:
@@ -187,6 +188,11 @@ def _network_simplex_py(mcf: MinCostFlow,
                     order[qn] = w
                     qn += 1
         assert qn == m, "tree construction failed to span all nodes"
+        children.clear()
+        children.extend(set() for _ in range(m))
+        for v in range(m):
+            if v != root:
+                children[parent[v]].add(v)
 
         # residuals r = b - N x_nonbasic: a nonbasic flow f contributes +f at
         # its head and -f at its tail, so subtracting it adds +f at the tail
@@ -372,36 +378,38 @@ def _network_simplex_py(mcf: MinCostFlow,
 
         et, eh = int(tails[e]), int(heads[e])
         join = et if in_cut(et) else eh
-        # reverse parent pointers along path child..join, then hook join
+        rc_e = float(rc[e])
+        # reverse parent pointers along path child..join, then hook join,
+        # keeping the children sets consistent (O(path) updates)
         path = []
         v = join
         while v != child:
             path.append(v)
             v = parent[v]
         path.append(child)
-        # path is join -> ... -> child (upward); reverse the pointers
+        for v in path:
+            p = parent[v]
+            if p != -1:
+                children[p].discard(v)
         prev = et + eh - join  # the endpoint of e outside the cut
         prev_arc = e
         for v in path:
             nxt, nxt_arc = parent[v], parent_arc[v]
             parent[v] = prev
             parent_arc[v] = prev_arc
+            children[prev].add(v)
             prev, prev_arc = v, nxt_arc
-        # recompute depths & potentials (O(m); the C++ core does O(subtree))
-        order = [root]
-        children = [[] for _ in range(m)]
-        for v in range(m):
-            if v != root:
-                children[parent[v]].append(v)
-        qi = 0
-        while qi < len(order):
-            v = order[qi]
-            qi += 1
-            for w in children[v]:
-                depth[w] = depth[v] + 1
-                a = parent_arc[w]
-                y[w] = y[v] + cost[a] if heads[a] == w else y[v] - cost[a]
-                order.append(w)
+        # potentials: the whole cut subtree (rooted at `join` in the new
+        # tree) shifts by the constant that zeroes the entering reduced cost
+        delta = rc_e if join == eh else -rc_e
+        stack = [join]
+        depth[join] = depth[et + eh - join] + 1
+        while stack:
+            w = stack.pop()
+            y[w] += delta
+            for ch in children[w]:
+                depth[ch] = depth[w] + 1
+                stack.append(ch)
 
     art_flow = float(np.abs(x[n:]).sum())
     if result_status == "OPTIMAL" and art_flow > max(tol * m, 1e-6):
