@@ -89,7 +89,7 @@ def cpu_reference_pipeline(s, d, M, reg=0.05, sinkhorn_iters=200):
     return Xt
 
 
-def _device_responsive(timeout: float = 240.0) -> bool:
+def _device_responsive(timeout: float = 120.0) -> bool:
     """Probe the default JAX device in a SUBPROCESS: the relay-attached TPU
     in this environment can wedge (a hung dispatch can't be interrupted
     in-process), and a wedged chip must not stall the benchmark."""
