@@ -92,3 +92,22 @@ def table(summary: dict) -> str:
                      f"{rec['geo_mean_iters']:>12.1f}"
                      f"{rec['num_failed']:>6}")
     return "\n".join(lines)
+
+
+def to_dataframe(store):
+    """ResultStore rows as a pandas DataFrame (the reference's analysis
+    operates on pandas frames, visualization.py:388-418)."""
+    import pandas as pd
+
+    return pd.DataFrame(list(store.rows()))
+
+
+def pivot_table(store, value: str = "runtime"):
+    """Instances x methods table of a metric (NaN where missing)."""
+    import pandas as pd
+
+    df = to_dataframe(store)
+    if df.empty:
+        return pd.DataFrame()
+    return df.pivot_table(index="instance", columns="method", values=value,
+                          aggfunc="last")

@@ -211,3 +211,17 @@ def test_certificates(rng):
     out = solve_lp(lp, method="simplex")
     cert = certify_lp(lp, out.x, out.y)
     assert cert.optimal, cert
+
+
+def test_analysis_dataframe(tmp_path):
+    from smart_crossover_tpu.analysis import pivot_table, to_dataframe
+
+    store = ResultStore(tmp_path / "r.jsonl")
+    store.record("a", "tnet", runtime=1.0, status="OPTIMAL")
+    store.record("a", "cnet", runtime=2.0, status="OPTIMAL")
+    store.record("b", "tnet", runtime=3.0, status="OPTIMAL")
+    df = to_dataframe(store)
+    assert len(df) == 3 and "runtime" in df.columns
+    pt = pivot_table(store, "runtime")
+    assert pt.loc["a", "cnet"] == 2.0
+    assert np.isnan(pt.loc["b", "cnet"])
