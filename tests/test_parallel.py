@@ -213,3 +213,19 @@ def test_tnet_reduced_cost_tree_weights(rng):
     np.testing.assert_allclose(X.sum(axis=2), s, atol=1e-7)
     np.testing.assert_allclose(X.sum(axis=1), d, atol=1e-7)
     assert np.all(X >= -1e-9)
+
+
+def test_sharded_tnet_width_equivalence(rng):
+    from smart_crossover_tpu.parallel.tnet_sharded import sharded_tnet_single
+
+    ot = random_ot(rng, 8, 16)
+    results = {}
+    for w in (1, 2, 4):
+        mesh = make_mesh(n_batch=1, n_model=w)
+        X, push_n = sharded_tnet_single(mesh, ot.s, ot.d, ot.M, reg=0.05,
+                                        sinkhorn_iters=200)
+        results[w] = ((X * ot.M).sum(), X)
+    # identical pipeline, different mesh widths: objectives agree closely
+    base = results[1][0]
+    for w in (2, 4):
+        assert abs(results[w][0] - base) < 1e-6 * (1 + abs(base))
