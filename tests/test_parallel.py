@@ -220,8 +220,10 @@ def test_sharded_tnet_width_equivalence(rng):
 
     ot = random_ot(rng, 8, 16)
     results = {}
+    import jax
+
     for w in (1, 2, 4):
-        mesh = make_mesh(n_batch=1, n_model=w)
+        mesh = make_mesh(n_batch=1, n_model=w, devices=jax.devices()[:w])
         X, push_n = sharded_tnet_single(mesh, ot.s, ot.d, ot.M, reg=0.05,
                                         sinkhorn_iters=200)
         results[w] = ((X * ot.M).sum(), X)
