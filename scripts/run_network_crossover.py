@@ -130,9 +130,10 @@ def run_total(name, inst, methods, store, settings):
 
 def main(problem: str = "ot", test_object: str = "crossover",
          barrier_tol: float = 1e-4, num_pairs: int = 10,
-         data_dir: str = "data", results: str = "results/network.jsonl"):
+         data_dir: str = "data", results: str = "results/network.jsonl",
+         pricing: str = "SE"):
     store = ResultStore(results)
-    settings = SolverSettings(log_console=0)
+    settings = SolverSettings(log_console=0, simplexPricing=pricing)
     methods = ["tnet", "cnet_ot", "cnet_mcf"]
     instances = load_instances(problem, Path(data_dir), num_pairs)
     print(f"{len(instances)} instances ({problem}, {test_object})")
@@ -154,6 +155,7 @@ if __name__ == "__main__":
     ap.add_argument("--num-pairs", type=int, default=10)
     ap.add_argument("--data-dir", default="data")
     ap.add_argument("--results", default="results/network.jsonl")
+    ap.add_argument("--pricing", default="SE", choices=["SE", "PP"])
     a = ap.parse_args()
     main(a.problem, a.test_object, a.barrier_tol, a.num_pairs, a.data_dir,
-         a.results)
+         a.results, a.pricing)
