@@ -25,6 +25,7 @@ def read_mps(path: str | Path) -> GeneralLP:
 
     section = None
     obj_row = None
+    obj_offset = 0.0
     maximize = False
     row_sense: dict[str, str] = {}
     row_order: list[str] = []
@@ -95,6 +96,10 @@ def read_mps(path: str | Path) -> GeneralLP:
                 rname, val = tok[j], float(tok[j + 1])
                 if rname in _rowpos:
                     rhs[rname] = val
+                elif rname == obj_row:
+                    # RHS on the objective row: constant term, negated by
+                    # MPS convention (obj = c'x - rhs)
+                    obj_offset = -val
         elif section == "RANGES":
             for j in range(1, len(tok) - 1, 2):
                 rname, val = tok[j], float(tok[j + 1])
@@ -152,6 +157,7 @@ def read_mps(path: str | Path) -> GeneralLP:
     c = np.array([obj_coefs.get(cname, 0.0) for cname in col_order])
     if maximize:
         c = -c
+        obj_offset = -obj_offset
     l = np.array([lb.get(cname, 0.0) for cname in col_order])
     u = np.array([ub.get(cname, np.inf) for cname in col_order])
 
@@ -183,4 +189,5 @@ def read_mps(path: str | Path) -> GeneralLP:
     A = sp.vstack(rows_A).tocsr() if rows_A else sp.csr_matrix((0, n))
     b = np.array(rows_b)
     return GeneralLP(A=A, b=b, c=c, l=l, u=u,
-                     sense=np.array(senses), name=path.stem)
+                     sense=np.array(senses), name=path.stem,
+                     obj_offset=obj_offset)

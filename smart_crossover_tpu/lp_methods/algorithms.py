@@ -95,7 +95,7 @@ def run_perturb_algorithm(lp: GeneralLP,
             perturb_output.basis)
         return Output(x=x_full, y=perturb_output.y,
                       x_bar=barrier_output.x,
-                      obj_val=float(lp.c @ x_full),
+                      obj_val=float(lp.c @ x_full) + lp.obj_offset,
                       runtime=(barrier_output.runtime
                                + perturb_output.runtime),
                       iter_count=perturb_output.iter_count,
@@ -212,7 +212,7 @@ def check_perturb_output_precision(manager: LPManager, x_ptb: np.ndarray,
                                    barrier_obj: float) -> bool:
     """Relative primal-dual gap acceptance (reference :205-224)."""
     x = manager.get_orix(x_ptb)
-    obj = float(c_ori @ x)
+    obj = float(c_ori @ x) + manager.lp.obj_offset
     gap = abs(obj - barrier_obj)
     rel_gap = gap / (abs(obj) + abs(barrier_obj) + 1.0)
     logger.info("*** primal-dual gap: %.2e ***", rel_gap)

@@ -48,6 +48,7 @@ class GeneralLP:
     u: np.ndarray
     sense: np.ndarray
     name: str = "lp_instance"
+    obj_offset: float = 0.0   # constant term (e.g. an MPS objective RHS)
 
     def __post_init__(self) -> None:
         self.b = _as_dense_1d(self.b)
@@ -128,7 +129,8 @@ class GeneralLP:
     def copy(self) -> "GeneralLP":
         A = self.A.copy()
         return GeneralLP(A, self.b.copy(), self.c.copy(), self.l.copy(),
-                         self.u.copy(), self.sense.copy(), self.name)
+                         self.u.copy(), self.sense.copy(), self.name,
+                         self.obj_offset)
 
 
 @dataclass

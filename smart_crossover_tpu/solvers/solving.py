@@ -139,6 +139,10 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
                      runtime=res.runtime, bar_iter_count=res.iter_count,
                      rcost=glp.get_dual_slack(res.y), status=res.status)
     if out is not None:
+        if glp.obj_offset and out.obj_val is not None:
+            from dataclasses import replace as _replace
+
+            out = _replace(out, obj_val=out.obj_val + glp.obj_offset)
         from smart_crossover_tpu.utils.logging import log_solve
 
         log_solve(settings.log_file, solver, method, name=glp.name,

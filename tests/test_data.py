@@ -225,3 +225,27 @@ def test_analysis_dataframe(tmp_path):
     pt = pivot_table(store, "runtime")
     assert pt.loc["a", "cnet"] == 2.0
     assert np.isnan(pt.loc["b", "cnet"])
+
+
+def test_mps_objective_constant(tmp_path):
+    mps = """\
+NAME oc
+ROWS
+ N obj
+ E r1
+COLUMNS
+    x obj 2.0 r1 1.0
+RHS
+    rhs r1 3.0 obj 5.0
+ENDATA
+"""
+    p = tmp_path / "oc.mps"
+    p.write_text(mps)
+    lp = read_mps(p)
+    assert lp.obj_offset == -5.0     # MPS convention: obj = c'x - rhs_obj
+    from smart_crossover_tpu.solvers.solving import solve_lp
+
+    out = solve_lp(lp, method="simplex")
+    # x = 3 forced, obj = 2*3 - 5 = 1
+    assert out.status == "OPTIMAL"
+    assert abs(out.obj_val - 1.0) < 1e-9
