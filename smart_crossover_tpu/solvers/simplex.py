@@ -322,10 +322,12 @@ def primal_simplex(A, b, c, l, u,
                 st[e] = ST_LOWER if np.isfinite(next_l[e]) else ST_FREE
                 x[e] = next_l[e] if np.isfinite(next_l[e]) else 0.0
                 lu.refactor(basic)
-            # recompute basic values for numerical hygiene
-            nb = st != ST_BASIC
-            x_nb = np.where(nb, x, 0.0)
-            x[basic] = lu.solve(b - Aext @ x_nb)
+            # periodic hygiene resolve (the incremental x update is exact up
+            # to float drift; a fresh solve every few pivots bounds it)
+            if it % 8 == 0 or not lu.etas:
+                nb = st != ST_BASIC
+                x_nb = np.where(nb, x, 0.0)
+                x[basic] = lu.solve(b - Aext @ x_nb)
 
     # final duals / reduced costs w.r.t. the REAL objective
     y = lu.solve(cext[basic], trans="T")
