@@ -14,9 +14,9 @@ lp_methods/algorithms.py:69-74).  Capabilities:
   *crossover from an interior point* for general LP: classify variables at
   bounds, propose the support as basic, let repair + phase-1/2 pivot to an
   optimal vertex;
-* Dantzig pricing with a Bland's-rule fallback on long degenerate runs;
-  sparse LU refactorisation of the basis each pivot (robust; few-pivot
-  cleanups are the design point — the perturbation makes that true).
+* Devex or Dantzig pricing with a Bland's-rule fallback on long degenerate
+  runs; sparse LU with product-form (eta) updates, refactorised on overflow
+  or tiny pivots, with periodic hygiene resolves bounding float drift.
 """
 from __future__ import annotations
 
