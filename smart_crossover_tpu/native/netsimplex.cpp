@@ -2,9 +2,12 @@
 //
 // Same algorithm as the numpy implementation in
 // smart_crossover_tpu/solvers/network_simplex.py (which doubles as its test
-// oracle), with the classic efficiency upgrades: block Dantzig pricing and
-// O(|subtree|) basis updates using children adjacency + the constant-delta
-// potential shift of the cut subtree.
+// oracle), with the classic efficiency upgrades: altering-candidate-list
+// pricing (a block-scan major refill plus cheap minor re-pricing of a short
+// hot list), stamped alternating cycle walks (no depth maintenance), and
+// min-side constant-delta potential shifts chosen via maintained subtree
+// sizes — the complement is shifted by -delta when the cut component is the
+// larger side, which leaves all reduced costs unchanged.
 //
 // C ABI (ctypes):
 //   scx_network_simplex(...) -> status  0=OPTIMAL 1=INFEASIBLE 2=UNBOUNDED
@@ -12,6 +15,7 @@
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#include <cstdlib>
 #include <vector>
 #include <algorithm>
 #include <limits>
@@ -35,7 +39,9 @@ struct Solver {
   std::vector<int8_t> st;
   // tree
   std::vector<i64> parent, parent_arc;
-  std::vector<i64> depth;
+  std::vector<i64> sz;           // subtree sizes (for min-side updates)
+  std::vector<i64> stamp, ppos;  // per-pivot cycle-walk visit marks
+  std::vector<int8_t> pside;
   std::vector<double> y;
   // children adjacency as first-child / next-sibling
   std::vector<i64> first_child, next_sib, prev_sib;  // node lists
@@ -91,7 +97,6 @@ struct Solver {
     std::vector<char> seen(m, 0);
     parent.assign(m, -1);
     parent_arc.assign(m, -1);
-    depth.assign(m, 0);
     std::fill(first_child.begin(), first_child.end(), -1);
     std::fill(next_sib.begin(), next_sib.end(), -1);
     std::fill(prev_sib.begin(), prev_sib.end(), -1);
@@ -104,7 +109,6 @@ struct Solver {
           seen[w] = 1;
           parent[w] = v;
           parent_arc[w] = a;
-          depth[w] = depth[v] + 1;
           child_link(v, w);
           order.push_back(w);
         }
@@ -168,35 +172,65 @@ struct Solver {
   }
 
   void compute_potentials() {
-    // preorder via explicit stack from root using children lists
+    // preorder from root via children lists, then reverse-accumulate sizes
     y[root] = 0.0;
-    std::vector<i64> stack = {root};
-    while (!stack.empty()) {
-      i64 v = stack.back();
-      stack.pop_back();
+    std::vector<i64> order;
+    order.reserve(m);
+    order.push_back(root);
+    for (size_t qi = 0; qi < order.size(); ++qi) {
+      i64 v = order[qi];
       for (i64 c = first_child[v]; c >= 0; c = next_sib[c]) {
         i64 a = parent_arc[c];
         y[c] = (heads[a] == c) ? y[v] + cost[a] : y[v] - cost[a];
-        depth[c] = depth[v] + 1;
-        stack.push_back(c);
+        order.push_back(c);
       }
     }
+    sz.assign(m, 1);
+    for (i64 idx = (i64)order.size() - 1; idx >= 1; --idx)
+      sz[parent[order[idx]]] += sz[order[idx]];
   }
 
   int run(i64 max_iter, i64 *iters_out) {
     i64 it = 0;
     i64 degen_run = 0;
     i64 block_start = 0;
-    const i64 block = std::max<i64>(64, (i64)(std::sqrt((double)ntot) * 4));
+    // altering candidate list (LEMON-style): a major scan gathers up to
+    // `block` violating arcs, keeps the `head_len` strongest; minor
+    // iterations re-price only that short list until it runs dry.  The
+    // large pool / small head split was tuned on 240k-arc transshipment
+    // runs (pivot counts drop ~3x vs small blocks) without hurting dense
+    // OT instances; override with SCX_NS_BLOCK / SCX_NS_HEAD.
+    i64 block = std::max<i64>(64, (i64)(std::sqrt((double)ntot) * 32));
+    if (const char *bs = std::getenv("SCX_NS_BLOCK"))
+      if (i64 v = std::atoll(bs); v > 0) block = v;
+    i64 head_len = std::max<i64>(16, block / 32);
+    if (const char *hs = std::getenv("SCX_NS_HEAD"))
+      if (i64 v = std::atoll(hs); v > 0) head_len = v;
+    std::vector<i64> cand;
+    std::vector<std::pair<double, i64>> candp;
+    cand.reserve((size_t)block);
+    candp.reserve((size_t)block);
     int result = 0;  // OPTIMAL
     std::vector<i64> cyc_arcs;
     std::vector<int> cyc_dir;
+    std::vector<i64> tpath, hpath, stack, rev;
     cyc_arcs.reserve(256);
     cyc_dir.reserve(256);
+    stack.reserve(256);
+    rev.reserve(256);
+    stamp.assign(m, -1);
+    ppos.assign(m, 0);
+    pside.assign(m, 0);
+
+    auto viol = [&](i64 a) -> double {
+      double rc = cost[a] - y[heads[a]] + y[tails[a]];
+      if (st[a] == AT_LOWER && rc < -tol) return -rc;
+      if (st[a] == AT_UPPER && rc > tol) return rc;
+      return 0.0;
+    };
 
     while (true) {
       if (it >= max_iter) { result = 3; break; }
-      // ---- pricing: block Dantzig over arc blocks ----
       i64 e = -1;
       double best = tol;
       bool bland = degen_run > 2 * m + 50;
@@ -207,36 +241,88 @@ struct Solver {
               (st[a] == AT_UPPER && rc > tol)) { e = a; break; }
         }
       } else {
-        i64 scanned = 0;
-        i64 pos = block_start;
-        while (scanned < ntot) {
-          i64 end = std::min(pos + block, ntot);
-          for (i64 a = pos; a < end; ++a) {
-            double rc = cost[a] - y[heads[a]] + y[tails[a]];
-            double v = 0.0;
-            if (st[a] == AT_LOWER && rc < -tol) v = -rc;
-            else if (st[a] == AT_UPPER && rc > tol) v = rc;
+        // ---- minor: re-price the candidate list under current potentials
+        size_t w = 0;
+        for (size_t k = 0; k < cand.size(); ++k) {
+          i64 a = cand[k];
+          double v = viol(a);
+          if (v > tol) {
+            cand[w++] = a;
             if (v > best) { best = v; e = a; }
           }
-          scanned += end - pos;
-          pos = (end >= ntot) ? 0 : end;
-          if (e >= 0) { block_start = pos; break; }
+        }
+        cand.resize(w);
+        if (e < 0) {
+          // ---- major: block scan to refill the list
+          candp.clear();
+          i64 scanned = 0;
+          i64 pos = block_start;
+          // scan until the list is full, but cap the effort once at least
+          // one candidate exists — when violations are sparse this degrades
+          // gracefully toward block Dantzig instead of paying a full
+          // arc-set scan per refill; an empty list keeps scanning so the
+          // optimality proof stays exact
+          const i64 scan_cap = 8 * block;
+          while (scanned < ntot && (i64)candp.size() < block &&
+                 (candp.empty() || scanned < scan_cap)) {
+            i64 end = std::min(pos + block, ntot);
+            for (i64 a = pos; a < end; ++a) {
+              double v = viol(a);
+              if (v > tol) candp.push_back({v, a});
+            }
+            scanned += end - pos;
+            pos = (end >= ntot) ? 0 : end;
+          }
+          block_start = pos;
+          if ((i64)candp.size() > head_len) {
+            std::nth_element(candp.begin(), candp.begin() + head_len,
+                             candp.end(),
+                             [](const std::pair<double, i64> &pa,
+                                const std::pair<double, i64> &pb) {
+                               return pa.first > pb.first;
+                             });
+            candp.resize((size_t)head_len);
+          }
+          cand.clear();
+          for (const auto &pr : candp) {
+            cand.push_back(pr.second);
+            if (pr.first > best) { best = pr.first; e = pr.second; }
+          }
         }
       }
       if (e < 0) break;  // optimal
       ++it;
       int dir = (st[e] == AT_LOWER) ? 1 : -1;
 
-      // ---- cycle via parent walks ----
+      // ---- cycle via alternating stamped parent walks ----
+      // Walk up from both endpoints one step at a time, marking visited
+      // nodes with this pivot's stamp; the first node reached twice is the
+      // cycle apex, and the first visitor's overshoot past it is trimmed
+      // using the recorded path positions.  O(cycle length), no depths.
       cyc_arcs.clear();
       cyc_dir.clear();
-      i64 va = tails[e], vb = heads[e];
-      // record which side each arc is on by walking to equal depth then up
-      // head-side arcs first (traversal v->parent), then tail-side
-      std::vector<i64> tpath, hpath;
-      while (va != vb) {
-        if (depth[va] >= depth[vb]) { tpath.push_back(va); va = parent[va]; }
-        else { hpath.push_back(vb); vb = parent[vb]; }
+      tpath.clear();
+      hpath.clear();
+      i64 apex = -1;
+      {
+        i64 cur[2] = {tails[e], heads[e]};
+        std::vector<i64> *paths[2] = {&tpath, &hpath};
+        int s = 0;
+        while (apex < 0) {
+          i64 v = cur[s];
+          if (v < 0) { s ^= 1; continue; }
+          if (stamp[v] == it) {
+            apex = v;
+            paths[pside[v]]->resize((size_t)ppos[v]);
+            break;
+          }
+          stamp[v] = it;
+          pside[v] = (int8_t)s;
+          ppos[v] = (i64)paths[s]->size();
+          paths[s]->push_back(v);
+          cur[s] = parent[v];
+          s ^= 1;
+        }
       }
       for (i64 v : hpath) {
         i64 a = parent_arc[v];
@@ -254,6 +340,7 @@ struct Solver {
       // ---- ratio test ----
       double theta = std::isfinite(cap[e]) ? cap[e] : INF;
       i64 leaving = e;
+      size_t leave_k = (size_t)-1;
       int8_t leave_to = (dir == 1) ? AT_UPPER : AT_LOWER;
       for (size_t k = 0; k < cyc_arcs.size(); ++k) {
         i64 a = cyc_arcs[k];
@@ -261,6 +348,7 @@ struct Solver {
         if (room < theta - 1e-15) {
           theta = room;
           leaving = a;
+          leave_k = k;
           leave_to = (cyc_dir[k] == 1) ? AT_UPPER : AT_LOWER;
         }
       }
@@ -281,19 +369,21 @@ struct Solver {
 
       i64 lt = tails[leaving], lh = heads[leaving];
       i64 child = (parent_arc[lt] == leaving) ? lt : lh;
-      // which endpoint of e is inside the cut subtree? walk up to root/child
+      // the cut subtree (old subtree of `child`) contains the entering arc's
+      // endpoint on the same cycle side as the leaving arc (cyc_arcs order:
+      // head-side entries first, then tail-side)
       i64 et = tails[e], eh = heads[e];
-      i64 join = -1;
-      for (i64 v = et; v >= 0; v = parent[v]) {
-        if (v == child) { join = et; break; }
-      }
-      if (join < 0) join = eh;
+      i64 join = (leave_k < hpath.size()) ? eh : et;
       i64 out_end = et + eh - join;
+      i64 old_par_child = parent[child];
+      i64 moved = sz[child];  // size of the cut component
 
       // reverse parent pointers along join -> ... -> child
+      rev.clear();
       i64 prev = out_end, prev_arc = e;
       i64 v = join;
       while (true) {
+        rev.push_back(v);
         i64 nxt = parent[v];
         i64 nxt_arc = parent_arc[v];
         // unlink v from old parent, link to new
@@ -308,6 +398,19 @@ struct Solver {
         v = nxt;
       }
 
+      // subtree sizes: recompute along the reversed path (deepest node
+      // `child` first — its off-path children kept valid sizes), then apply
+      // the moved-component size along the complement's two cycle legs,
+      // which meet exactly at the apex.
+      for (i64 k2 = (i64)rev.size() - 1; k2 >= 0; --k2) {
+        i64 w = rev[k2];
+        i64 ssum = 1;
+        for (i64 c = first_child[w]; c >= 0; c = next_sib[c]) ssum += sz[c];
+        sz[w] = ssum;
+      }
+      for (i64 w = old_par_child; w != apex; w = parent[w]) sz[w] -= moved;
+      for (i64 w = out_end; w != apex; w = parent[w]) sz[w] += moved;
+
       // potential shift: all nodes of the cut subtree move by a constant
       // delta = rc_e oriented so the entering arc's rc becomes 0.
       // Entering arc connects out_end (potential unchanged) and join (inside
@@ -315,20 +418,30 @@ struct Solver {
       // zeroes the entering arc's reduced cost.
       double rc_e = cost[e] - y[heads[e]] + y[tails[e]];
       double delta = (join == heads[e]) ? rc_e : -rc_e;
-      // DFS the cut subtree (rooted at join now) applying delta + depth fix
-      std::vector<i64> stack = {join};
-      depth[join] = depth[out_end] + 1;
-      while (!stack.empty()) {
-        i64 w = stack.back();
-        stack.pop_back();
-        y[w] += delta;
-        for (i64 c = first_child[w]; c >= 0; c = next_sib[c]) {
-          depth[c] = depth[w] + 1;
-          stack.push_back(c);
+      // min-side potential shift: a uniform shift of all y leaves every
+      // reduced cost unchanged, so instead of always adding delta over the
+      // cut component (join's subtree in the NEW tree) we may equivalently
+      // subtract delta over the complement — walk whichever is smaller.
+      stack.clear();
+      if (2 * moved <= m) {
+        stack.push_back(join);
+        while (!stack.empty()) {
+          i64 w = stack.back();
+          stack.pop_back();
+          y[w] += delta;
+          for (i64 c = first_child[w]; c >= 0; c = next_sib[c])
+            stack.push_back(c);
+        }
+      } else {
+        stack.push_back(root);
+        while (!stack.empty()) {
+          i64 w = stack.back();
+          stack.pop_back();
+          y[w] -= delta;
+          for (i64 c = first_child[w]; c >= 0; c = next_sib[c])
+            if (c != join) stack.push_back(c);
         }
       }
-      // NOTE: the DFS applies delta to `join`'s subtree in the NEW tree,
-      // which is exactly the cut component.
     }
     *iters_out = it;
     return result;
@@ -379,7 +492,6 @@ extern "C" int scx_network_simplex(
   }
   S.parent.assign(m, -1);
   S.parent_arc.assign(m, -1);
-  S.depth.assign(m, 0);
   S.y.assign(m, 0.0);
   S.first_child.assign(m, -1);
   S.next_sib.assign(m, -1);
