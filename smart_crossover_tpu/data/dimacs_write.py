@@ -16,10 +16,10 @@ def write_dimacs_min(mcf: MinCostFlow, path: str | Path) -> None:
     lines = [f"c {mcf.name}", f"p min {mcf.m} {mcf.n}"]
     # b is net inflow requirement; DIMACS supply = -b (positive at sources)
     for i in np.nonzero(mcf.b)[0]:
-        lines.append(f"n {i + 1} {-mcf.b[i]:.10g}")
+        lines.append(f"n {i + 1} {float(-mcf.b[i])!r}")
     for j in range(mcf.n):
         cap = mcf.u[j]
-        cap_s = f"{cap:.10g}" if np.isfinite(cap) else "1000000000"
+        cap_s = f"{float(cap)!r}" if np.isfinite(cap) else "1000000000"
         lines.append(f"a {mcf.tails[j] + 1} {mcf.heads[j] + 1} 0 "
-                     f"{cap_s} {mcf.c[j]:.10g}")
+                     f"{cap_s} {float(mcf.c[j])!r}")
     path.write_text("\n".join(lines) + "\n")

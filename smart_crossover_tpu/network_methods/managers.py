@@ -109,12 +109,29 @@ class MCFManager:
             return obj_val
         return obj_val * self.c_rescaling_factor
 
+    def _artificial_tol(self) -> float:
+        """Scale-aware zero test for artificial flows: node supplies printed
+        or computed in floats carry O(m * eps_print) imbalance that only the
+        big-M arcs can absorb, so an absolute 1e-8 cutoff misfires on large
+        instances.  Mirrors network_simplex's own max(tol*m, 1e-6) gate
+        (solvers/network_simplex.py declares OPTIMAL below the same floor)."""
+        return max(1e-6, 1e-9 * self.m,
+                   1e-12 * float(np.abs(self.mcf.b).sum()))
+
     def objective(self, x: np.ndarray) -> float:
         """True objective of a recovered full solution (includes the
         contribution of variables fixed at their upper bound, which the
         subproblem objective drops as a constant — reference
-        net_manager.py:202-209 drops it too)."""
+        net_manager.py:202-209 drops it too).  Sub-tolerance artificial
+        flows (float roundoff of the supply vector) are treated as zero so
+        the reported value is the original-arc cost, matching what
+        network_simplex itself reports."""
         val = float(self.mcf.c @ x)
+        art = self.artificial_vars
+        if art.size:
+            flows = x[art]
+            small = flows < self._artificial_tol()
+            val -= float(self.mcf.c[art][small] @ flows[small])
         if self.c_rescaling_factor is not None:
             val *= self.c_rescaling_factor
         return val
@@ -225,7 +242,7 @@ class MCFManager:
         art_ok = True
         if self.artificial_vars.size:
             art_ok = bool(np.all(
-                x[self.artificial_vars] < TOLERANCE_FOR_ARTIFICIAL_VARS))
+                x[self.artificial_vars] < self._artificial_tol()))
         rc_ok = bool(np.all(self.get_reduced_cost_for_original_mcf(y)
                             >= -TOLERANCE_FOR_REDUCED_COSTS))
         return art_ok and rc_ok
@@ -323,8 +340,18 @@ class OTManager:
     def recover_obj_val(self, obj_val: float) -> float:
         return obj_val
 
+    def _artificial_tol(self) -> float:
+        return max(1e-6, 1e-9 * self.mcf.m,
+                   1e-12 * float(np.abs(self.mcf.b).sum()))
+
     def objective(self, x: np.ndarray) -> float:
-        return float(self.mcf.c @ x)
+        val = float(self.mcf.c @ x)
+        art = self.artificial_vars
+        if art.size:
+            flows = x[art]
+            small = flows < self._artificial_tol()
+            val -= float(self.mcf.c[art][small] @ flows[small])
+        return val
 
     def get_reduced_cost_for_original_OT(self, y: np.ndarray) -> np.ndarray:
         return self.mcf.c - (y[self.mcf.heads] - y[self.mcf.tails])
@@ -334,7 +361,7 @@ class OTManager:
         if self.artificial_vars.size:
             # the free corner arc (last artificial) may carry flow
             art_ok = bool(np.all(
-                x[self.artificial_vars][:-1] < TOLERANCE_FOR_ARTIFICIAL_VARS))
+                x[self.artificial_vars][:-1] < self._artificial_tol()))
         rc_ok = bool(np.all(self.get_reduced_cost_for_original_OT(y)
                             >= -TOLERANCE_FOR_REDUCED_COSTS))
         return art_ok and rc_ok

@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 from scipy.optimize import linprog
@@ -87,3 +89,25 @@ def test_column_generation_queue_exhaustion(rng):
     mgr.set_initial_basis()
     out = column_generation(mgr, queue=np.array([], dtype=np.int64))
     assert out.status == "CG_FAILED"
+
+
+def test_cnet_mcf_tolerates_supply_roundoff(rng):
+    """Supplies printed at ~10 significant digits (a common state of
+    user-provided DIMACS files) leave an O(m*eps_print) net imbalance that
+    only the big-M artificials can absorb; the optimality check must treat
+    such sub-tolerance artificial flow as zero and the reported objective
+    must exclude its big-M penalty."""
+    from smart_crossover_tpu.data.mcf_gen import transshipment_mcf
+    from smart_crossover_tpu.solvers.network_simplex import network_simplex
+
+    mcf = transshipment_mcf(m=300, arcs_per_node=8, num_terminals=30, seed=4)
+    b_round = np.array([float(f"{v:.8g}") for v in mcf.b])
+    assert abs(b_round.sum()) > 1e-10  # the roundoff creates real imbalance
+    mcf = dataclasses.replace(mcf, b=b_round)
+
+    exact = network_simplex(mcf)
+    assert exact.status == "OPTIMAL"
+    x_warm = np.clip(exact.x + rng.normal(0, 1e-3, mcf.n), 0, mcf.u)
+    out = network_crossover(x=x_warm, mcf=mcf, method="cnet_mcf")
+    assert out.status == "OPTIMAL"
+    assert out.obj_val == pytest.approx(exact.obj_val, rel=1e-6)
