@@ -16,8 +16,9 @@ def main(argv=None) -> int:
     p_solve = sub.add_parser("solve", help="solve an instance file")
     p_solve.add_argument("path", help=".mps/.mps.gz/.min/.ot/.mcf instance")
     p_solve.add_argument("--method", default="default",
-                         help="default|barrier|simplex|primal_simplex|"
-                              "dual_simplex|network_simplex|first_order")
+                         help="default|barrier|barrier_perturb|simplex|"
+                              "primal_simplex|dual_simplex|network_simplex|"
+                              "first_order")
     p_solve.add_argument("--barrier-tol", type=float, default=1e-8)
     p_solve.add_argument("--crossover", default="on", choices=["on", "off"])
 

@@ -72,20 +72,45 @@ def run_perturb_algorithm(lp: GeneralLP,
             is_feas=is_feas_problem)
         perturb_output = solve_lp(
             perturb_manager.lp_sub, solver=solver, method="barrier",
+            # a diverging (unbounded-face) perturbed solve should fail fast:
+            # legitimate perturbed subproblems converge well within 60 iters
             settings=SolverSettings(presolve="on", crossover="on",
+                                    barrierMaxIters=60,
                                     log_file=log_file),
             warm_start_solution=(
                 perturb_manager.get_subx(barrier_output.x),
                 barrier_output.y))
-        if perturb_output.status in ("INFEASIBLE", "UNBOUNDED"):
+        if perturb_output.status != "OPTIMAL":
+            # covers INFEASIBLE/UNBOUNDED and also ITERATION_LIMIT/STALLED:
+            # an over-eager face estimate can leave the perturbed LP
+            # unbounded, which the barrier may only reveal as divergence
             gamma *= OPTIMAL_FACE_ESTIMATOR_UPDATE_RATIO
             gamma_dual *= OPTIMAL_FACE_ESTIMATOR_UPDATE_RATIO ** 2
-            logger.info("*** perturbed subproblem infeasible/unbounded; "
-                        "shrinking the face estimate ***")
+            logger.info("*** perturbed subproblem not solved (%s); "
+                        "shrinking the face estimate ***",
+                        perturb_output.status)
         else:
             break
     if perturb_output is None or perturb_output.status != "OPTIMAL":
-        return perturb_output or Output(status="FAILED")
+        # the perturbation never produced a usable vertex; fall back to the
+        # plain crossover (warm primal simplex from the barrier solution),
+        # which is slower but always yields an exact vertex
+        logger.warning("*** perturbation failed (%s); falling back to the "
+                       "plain warm-started simplex crossover ***",
+                       perturb_output.status if perturb_output else "none")
+        fb = solve_lp(
+            lp, solver=solver, method="primal_simplex",
+            settings=SolverSettings(presolve="on",
+                                    optimalityTol=optimalityTol,
+                                    log_file=log_file),
+            warm_start_solution=(barrier_output.x, barrier_output.y))
+        return Output(x=fb.x, y=fb.y, x_bar=barrier_output.x,
+                      obj_val=fb.obj_val,
+                      runtime=barrier_output.runtime
+                      + (fb.runtime or barrier_output.runtime * 0),
+                      iter_count=fb.iter_count,
+                      bar_iter_count=barrier_output.bar_iter_count,
+                      rcost=fb.rcost, basis=fb.basis, status=fb.status)
 
     if check_perturb_output_precision(perturb_manager, perturb_output.x,
                                       lp.c, barrier_output.obj_val):

@@ -24,6 +24,7 @@ class SolverSettings:
 
     # In-house engine knobs (no reference analog).
     simplexMaxIters: int = 200_000
+    barrierMaxIters: int = 200
     networkSimplexMaxIters: int = 10_000_000
     firstOrderMaxIters: int = 100_000
     sinkhornReg: float = 1e-2

@@ -120,8 +120,28 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
     glp = _as_general(lp)
 
     out = None
+    offset_applied = False
     if method == "barrier":
         out = _solve_lp_barrier(glp, settings, warm_start_solution)
+    elif method in ("barrier_perturb", "perturb", "smart_crossover"):
+        # the framework's own crossover: barrier + optimal-face estimation +
+        # seeded objective perturbation + warm simplex finish (reference
+        # lp_methods/algorithms.py:18-265).  Much cheaper than the plain
+        # snap-and-clean crossover when the optimal face is large.  Lazy
+        # import: lp_methods.algorithms itself calls back into solve_lp for
+        # its internal barrier solves (with the plain crossover, so this
+        # dispatch cannot recurse).
+        from smart_crossover_tpu.lp_methods.algorithms import (
+            run_perturb_algorithm,
+        )
+
+        out = run_perturb_algorithm(glp, solver=solver,
+                                    barrierTol=settings.barrierTol,
+                                    optimalityTol=settings.optimalityTol,
+                                    log_file=settings.log_file)
+        # run_perturb_algorithm's internal solve_lp calls (and its direct-BFS
+        # path) already include glp.obj_offset in every returned obj_val
+        offset_applied = True
     elif method in ("default", "simplex", "primal_simplex", "dual_simplex"):
         out = _solve_lp_simplex(glp, settings, warm_start_basis,
                                 warm_start_solution,
@@ -139,7 +159,7 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
                      runtime=res.runtime, bar_iter_count=res.iter_count,
                      rcost=glp.get_dual_slack(res.y), status=res.status)
     if out is not None:
-        if glp.obj_offset and out.obj_val is not None:
+        if glp.obj_offset and out.obj_val is not None and not offset_applied:
             from dataclasses import replace as _replace
 
             out = _replace(out, obj_val=out.obj_val + glp.obj_offset)
@@ -151,14 +171,16 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
                   bar_iter_count=out.bar_iter_count)
         return out
     raise ValueError(
-        "Invalid method. Choose from 'default', 'barrier', 'simplex', "
+        "Invalid method. Choose from 'default', 'barrier', "
+        "'barrier_perturb'/'perturb'/'smart_crossover', 'simplex', "
         "'primal_simplex', 'dual_simplex', 'network_simplex', "
         "'first_order'/'pdhg'.")
 
 
 def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
                       warm_start_solution=None) -> Output:
-    res = ipm_general_lp(glp, tol=settings.barrierTol)
+    res = ipm_general_lp(glp, tol=settings.barrierTol,
+                         max_iter=settings.barrierMaxIters)
     status = res.status
     if status in ("STALLED", "ITERATION_LIMIT") and res.x is not None:
         # the IPM returns its best iterate; if it is moderately feasible it

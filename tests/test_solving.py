@@ -155,3 +155,55 @@ def test_solve_ot_device_simplex_method(rng):
     ref = solve_ot(ot, method="network_simplex")
     assert out.status == "OPTIMAL"
     assert out.obj_val == pytest.approx(ref.obj_val, abs=1e-7)
+
+
+def test_solve_lp_barrier_perturb_method(rng):
+    """method='barrier_perturb' routes through the perturbation crossover
+    and returns an exactly-optimal vertex (cross-checked against HiGHS)."""
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.data.lp_gen import random_sparse_lp
+
+    lp = random_sparse_lp(m=40, n=160, seed=17)
+    out = solve_lp(lp, method="barrier_perturb")
+    assert out.status == "OPTIMAL"
+    A = lp.get_standard_A()
+    nsl = A.shape[1] - lp.c.size
+    ref = linprog(lp.get_standard_c(), A_eq=A, b_eq=lp.b,
+                  bounds=[(li if np.isfinite(li) else None,
+                           ui if np.isfinite(ui) else None)
+                          for li, ui in zip(
+                              np.concatenate([lp.l, np.zeros(nsl)]),
+                              np.concatenate([lp.u, np.full(nsl, np.inf)]))],
+                  method="highs")
+    assert out.obj_val == pytest.approx(ref.fun, abs=1e-7)
+
+
+def test_barrier_perturb_applies_obj_offset_once(rng):
+    """run_perturb_algorithm adds obj_offset internally; the facade must not
+    add it a second time."""
+    import dataclasses
+
+    from smart_crossover_tpu.data.lp_gen import random_sparse_lp
+
+    lp = random_sparse_lp(m=30, n=120, seed=19)
+    base = solve_lp(lp, method="barrier_perturb")
+    shifted = solve_lp(dataclasses.replace(lp, obj_offset=5.0),
+                       method="barrier_perturb")
+    assert base.status == "OPTIMAL" and shifted.status == "OPTIMAL"
+    assert shifted.obj_val == pytest.approx(base.obj_val + 5.0, abs=1e-7)
+
+
+def test_barrier_perturb_feasibility_problem_falls_back(rng):
+    """c == 0 (pure feasibility): the perturbed subproblem can be unbounded
+    on the estimated face; the method must still return an exact vertex via
+    the warm-simplex fallback."""
+    import dataclasses
+
+    from smart_crossover_tpu.data.lp_gen import random_sparse_lp
+
+    lp = random_sparse_lp(m=25, n=100, seed=23)
+    lp = dataclasses.replace(lp, c=np.zeros_like(lp.c))
+    out = solve_lp(lp, method="barrier_perturb")
+    assert out.status == "OPTIMAL"
+    assert out.obj_val == pytest.approx(0.0, abs=1e-9)
