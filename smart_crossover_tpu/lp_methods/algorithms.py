@@ -184,16 +184,23 @@ def perturb_c(lp: GeneralLP, x: np.ndarray, is_feas: bool) -> np.ndarray:
     p = rng.uniform(0.9, 1.0, x_real.size)
     p = p / np.linalg.norm(p)
 
+    # perturb each variable TOWARD its finite bound: +p when l is finite
+    # (rests at the lower bound), -p when only u is finite, 0 when free.
+    # A blindly positive perturbation creates an unbounded ray on every
+    # l = -inf variable, which matters most in the feasibility case where
+    # the perturbation IS the whole objective.
+    sign = np.where(np.isfinite(lp.l), 1.0,
+                    np.where(np.isfinite(lp.u), -1.0, 0.0))
+
     if is_feas:
-        return lp.c + p
+        return lp.c + sign * p
 
     projector = get_projector_Xc(lp, x_real)
     n_std = x_real.size + lp.num_slacks
     scale_factor = get_scale_factor(projector, n_std)
     p = np.minimum(p / x_real * scale_factor / CONSTANT_SCALE_FACTOR,
                    PERTURB_UPPER_BOUND)
-    p[lp.get_free_ind()] = 0.0
-    return lp.c + p
+    return lp.c + sign * p
 
 
 def get_projector_c(lp: GeneralLP) -> np.ndarray:

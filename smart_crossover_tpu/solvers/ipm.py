@@ -217,8 +217,11 @@ def ipm_solve(A, b, c, l, u,
                 if f:
                     S = -1e-10 * np.eye(f) - AFd.T @ Z
                     S_lu = sla.lu_factor(S, check_finite=False)
+                    # a zero U-pivot passes lu_factor but NaNs at solve time
+                    u_diag = np.abs(np.diag(S_lu[0]))
                     if not (np.all(np.isfinite(Z))
-                            and np.all(np.isfinite(S_lu[0]))):
+                            and np.all(np.isfinite(S_lu[0]))
+                            and u_diag.min() > 1e-300):
                         raise RuntimeError("singular normal-equations block")
 
                 def kkt_solve(rhs_x, rp):
