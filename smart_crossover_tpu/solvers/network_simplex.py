@@ -7,8 +7,8 @@ solver_caller).  The solver:
 * accepts an arbitrary vbasis/cbasis warm start in the reference's
   0/-1/-2 encoding, repairs it into a spanning tree (filling connectivity
   with internal artificial root arcs), and pivots from there;
-* maintains the basis as a rooted spanning tree (parent / parent-arc / depth
-  arrays), prices with vectorised numpy reduced costs (Dantzig with a
+* maintains the basis as a rooted spanning tree (parent / parent-arc /
+  subtree-size arrays), prices with vectorised numpy reduced costs (Dantzig with a
   Bland's-rule fallback after long degenerate runs);
 * returns primal flows, node potentials, reduced costs, the final basis and
   the pivot count.
@@ -122,9 +122,14 @@ def _network_simplex_py(mcf: MinCostFlow,
         status[:n][at_up] = _AT_UPPER
         x[:n][at_up] = mcf.u[at_up]
 
-    parent = np.full(m, -1, dtype=np.int64)
-    parent_arc = np.full(m, -1, dtype=np.int64)
-    depth = np.zeros(m, dtype=np.int64)
+    parent = [-1] * m
+    parent_arc = [-1] * m
+    # plain lists: scalar reads/writes in the pivot loop are ~3x faster
+    # than numpy element access
+    sz = [1] * m                 # subtree sizes (min-side updates)
+    stamp = [-1] * m             # cycle-walk visit marks
+    pside = [0] * m
+    ppos = [0] * m
     y = np.zeros(m)
     children: list = []
 
@@ -167,11 +172,10 @@ def _network_simplex_py(mcf: MinCostFlow,
                 adj_head[v].append((root, a))
                 adj_head[root].append((v, a))
 
-        # BFS from root to set parent/depth
+        # BFS from root to set parents
         order = np.empty(m, dtype=np.int64)
         parent[root] = -1
         parent_arc[root] = -1
-        depth[root] = 0
         seen = np.zeros(m, dtype=bool)
         seen[root] = True
         order[0] = root
@@ -184,7 +188,6 @@ def _network_simplex_py(mcf: MinCostFlow,
                     seen[w] = True
                     parent[w] = v
                     parent_arc[w] = a
-                    depth[w] = depth[v] + 1
                     order[qn] = w
                     qn += 1
         assert qn == m, "tree construction failed to span all nodes"
@@ -261,18 +264,22 @@ def _network_simplex_py(mcf: MinCostFlow,
         repair_infeasible_tree()
 
     def recompute_potentials():
-        # BFS order from root using parent pointers: process by depth
-        order = np.argsort(depth, kind="stable")
+        # preorder from root via children sets; reverse pass accumulates
+        # subtree sizes for the min-side potential updates
         y[root] = 0.0
-        for v in order:
-            if v == root:
-                continue
-            p = parent[v]
-            a = parent_arc[v]
-            if heads[a] == v:     # arc p -> v
-                y[v] = y[p] + cost[a]
-            else:                 # arc v -> p
-                y[v] = y[p] - cost[a]
+        order = [root]
+        qi = 0
+        while qi < len(order):
+            v = order[qi]
+            qi += 1
+            for c in children[v]:
+                a = parent_arc[c]
+                y[c] = y[v] + cost[a] if heads[a] == c else y[v] - cost[a]
+                order.append(c)
+        sz[:] = [1] * m
+        for idx in range(len(order) - 1, 0, -1):
+            v = order[idx]
+            sz[parent[v]] += sz[v]
 
     recompute_potentials()
 
@@ -304,17 +311,29 @@ def _network_simplex_py(mcf: MinCostFlow,
         it += 1
         direction = 1 if lo_viol[e] else -1
 
-        # collect cycle: paths from tails[e] and heads[e] to their LCA
-        a_node, b_node = int(tails[e]), int(heads[e])
+        # collect cycle via alternating stamped parent walks: mark nodes
+        # with this pivot's id; the first node reached twice is the apex and
+        # the first visitor's overshoot past it is trimmed (no depths kept)
         path_t, path_h = [], []
-        va, vb_ = a_node, b_node
-        while va != vb_:
-            if depth[va] >= depth[vb_]:
-                path_t.append(va)
-                va = parent[va]
-            else:
-                path_h.append(vb_)
-                vb_ = parent[vb_]
+        apex = -1
+        cur = [int(tails[e]), int(heads[e])]
+        paths = [path_t, path_h]
+        s_side = 0
+        while apex < 0:
+            v = cur[s_side]
+            if v < 0:
+                s_side ^= 1
+                continue
+            if stamp[v] == it:
+                apex = v
+                del paths[pside[v]][ppos[v]:]
+                break
+            stamp[v] = it
+            pside[v] = s_side
+            ppos[v] = len(paths[s_side])
+            paths[s_side].append(v)
+            cur[s_side] = parent[v]
+            s_side ^= 1
 
         # flow deltas per unit of theta (direction=+1 pushes t->e->h)
         cyc_arcs = []
@@ -335,12 +354,14 @@ def _network_simplex_py(mcf: MinCostFlow,
         # ratio test
         theta = cap[e] if np.isfinite(cap[e]) else np.inf
         leaving = e
+        leave_k = -1
         leaving_to = _AT_UPPER if direction == 1 else _AT_LOWER
-        for a, d in zip(cyc_arcs, cyc_delta):
+        for k, (a, d) in enumerate(zip(cyc_arcs, cyc_delta)):
             room = (cap[a] - x[a]) if d == 1 else x[a]
             if room < theta - 1e-15:
                 theta = room
                 leaving = a
+                leave_k = k
                 leaving_to = _AT_UPPER if d == 1 else _AT_LOWER
         if not np.isfinite(theta):
             result_status = "UNBOUNDED"
@@ -366,19 +387,14 @@ def _network_simplex_py(mcf: MinCostFlow,
         # find the child endpoint of `leaving`
         lt, lh = int(tails[leaving]), int(heads[leaving])
         child = lt if parent[lt] != -1 and parent_arc[lt] == leaving else lh
-        # entering arc endpoint inside the cut subtree
-        # (walk up from both endpoints of e; the one that reaches `child`
-        #  before the root stays in the cut component)
-        def in_cut(v):
-            while v != -1:
-                if v == child:
-                    return True
-                v = parent[v]
-            return False
-
+        # the cut subtree (old subtree of `child`) contains the entering
+        # arc's endpoint on the same cycle side as the leaving arc
+        # (cyc_arcs order: head-side entries first, then tail-side)
         et, eh = int(tails[e]), int(heads[e])
-        join = et if in_cut(et) else eh
+        join = eh if leave_k < len(path_h) else et
         rc_e = float(rc[e])
+        old_par_child = int(parent[child])
+        moved = int(sz[child])     # size of the cut component
         # reverse parent pointers along path child..join, then hook join,
         # keeping the children sets consistent (O(path) updates)
         path = []
@@ -399,17 +415,40 @@ def _network_simplex_py(mcf: MinCostFlow,
             parent_arc[v] = prev_arc
             children[prev].add(v)
             prev, prev_arc = v, nxt_arc
-        # potentials: the whole cut subtree (rooted at `join` in the new
-        # tree) shifts by the constant that zeroes the entering reduced cost
+        # subtree sizes: recompute along the reversed path (deepest node
+        # `child` first), then apply the moved-component size along the
+        # complement's two cycle legs, which meet exactly at the apex
+        for v in reversed(path):
+            s_v = 1
+            for ch in children[v]:
+                s_v += sz[ch]
+            sz[v] = s_v
+        w = old_par_child
+        while w != apex:
+            sz[w] -= moved
+            w = parent[w]
+        w = et + eh - join
+        while w != apex:
+            sz[w] += moved
+            w = parent[w]
+        # min-side potential shift: a uniform shift of all y leaves every
+        # reduced cost unchanged, so shift the smaller of the cut component
+        # (join's new subtree, +delta) and its complement (-delta)
         delta = rc_e if join == eh else -rc_e
-        stack = [join]
-        depth[join] = depth[et + eh - join] + 1
-        while stack:
-            w = stack.pop()
-            y[w] += delta
-            for ch in children[w]:
-                depth[ch] = depth[w] + 1
-                stack.append(ch)
+        if 2 * moved <= m:
+            stack = [join]
+            while stack:
+                w = stack.pop()
+                y[w] += delta
+                stack.extend(children[w])
+        else:
+            stack = [root]
+            while stack:
+                w = stack.pop()
+                y[w] -= delta
+                for ch in children[w]:
+                    if ch != join:
+                        stack.append(ch)
 
     art_flow = float(np.abs(x[n:]).sum())
     if result_status == "OPTIMAL" and art_flow > max(tol * m, 1e-6):
