@@ -40,6 +40,7 @@ def lp_demo():
     lp = scx.GeneralLP(A=A, b=b, c=rng.standard_normal(n),
                        l=np.zeros(n), u=np.ones(n),
                        sense=np.full(m, "="))
+    # equivalently: scx.solve_lp(lp, method="barrier_perturb")
     out = scx.run_perturb_algorithm(lp)
     print(f"perturb  : {out.status} obj={out.obj_val:.8f} "
           f"pivots={out.iter_count} barrier_iters={out.bar_iter_count}")
