@@ -76,8 +76,17 @@ class IPMResult:
 def ipm_solve(A, b, c, l, u,
               tol: float = 1e-8,
               max_iter: int = 200,
-              verbose: bool = False) -> IPMResult:
-    """Solve the bounded-variable LP with Mehrotra predictor-corrector."""
+              verbose: bool = False,
+              x0=None, y0=None) -> IPMResult:
+    """Solve the bounded-variable LP with Mehrotra predictor-corrector.
+
+    ``x0``/``y0`` optionally warm-start the iterate: slacks are initialised
+    from x0 pushed strictly interior and the dual pair is split from the
+    dual residual at y0, both floored at a fraction of their average
+    magnitude (a cold Mehrotra start otherwise).  Warm starts help most
+    when the LP is a restriction or perturbation of one already solved
+    near its optimal face, e.g. the perturbation-crossover subproblems.
+    """
     t0 = time.perf_counter()
     A = sp.csr_matrix(A).astype(np.float64)
     m, n = A.shape
@@ -94,7 +103,9 @@ def ipm_solve(A, b, c, l, u,
         obj_shift = float(c[fixed] @ x_fix)
         res = ipm_solve(A[:, keep], b - A[:, fixed] @ x_fix, c[keep],
                         l[keep], u[keep], tol=tol, max_iter=max_iter,
-                        verbose=verbose)
+                        verbose=verbose,
+                        x0=None if x0 is None else np.asarray(x0)[keep],
+                        y0=y0)
         x_full = np.empty(n)
         x_full[keep] = res.x
         x_full[fixed] = x_fix
@@ -132,6 +143,28 @@ def ipm_solve(A, b, c, l, u,
     zl = np.where(has_l, 1.0 + np.abs(c), 0.0)
     zu = np.where(has_u, 1.0 + np.abs(c), 0.0)
     y = np.zeros(m)
+    if x0 is not None and not np.all(np.isfinite(np.asarray(x0))):
+        x0 = None   # a diverged warm start must not poison the solve
+    if y0 is not None and not np.all(np.isfinite(np.asarray(y0))):
+        y0 = None
+    if x0 is not None:
+        x0 = np.asarray(x0, dtype=np.float64)
+        p_w = np.where(has_l, x0 - l, 1.0)
+        q_w = np.where(has_u, u - x0, 1.0)
+        # push strictly interior: floor at a fraction of the mean slack
+        fl_p = max(1e-8, 1e-2 * float(np.mean(np.abs(p_w[has_l])))
+                   if np.any(has_l) else 1.0)
+        fl_q = max(1e-8, 1e-2 * float(np.mean(np.abs(q_w[has_u])))
+                   if np.any(has_u) else 1.0)
+        p = np.where(has_l, np.maximum(p_w, fl_p), 1.0)
+        q = np.where(has_u, np.maximum(q_w, fl_q), 1.0)
+        x = np.where(free, x0, x)
+    if y0 is not None and np.asarray(y0).shape == (m,):
+        y = np.asarray(y0, dtype=np.float64).copy()
+        rd0 = c - AT @ y
+        fl_z = max(1e-8, 1e-2 * float(np.mean(np.abs(rd0))))
+        zl = np.where(has_l, np.maximum(rd0, fl_z), 0.0)
+        zu = np.where(has_u, np.maximum(-rd0, fl_z), 0.0)
 
     bnorm = 1.0 + np.linalg.norm(b)
     cnorm = 1.0 + np.linalg.norm(c)
@@ -388,14 +421,18 @@ def ipm_solve(A, b, c, l, u,
                      iter_count=it, status=status, runtime=runtime)
 
 
-def ipm_general_lp(lp, tol: float = 1e-8, max_iter: int = 200) -> IPMResult:
+def ipm_general_lp(lp, tol: float = 1e-8, max_iter: int = 200,
+                   x0=None, y0=None) -> IPMResult:
     """Barrier-solve a GeneralLP by slack augmentation; returns the result in
     the ORIGINAL variable space (slacks stripped), with y over the rows."""
     A_std = lp.get_standard_A()
     c_std = lp.get_standard_c()
     l_std, u_std = lp.get_standard_bounds()
+    x0_std = None
+    if x0 is not None and np.asarray(x0).shape == (lp.n,):
+        x0_std = lp.get_standard_x(np.asarray(x0, dtype=np.float64))
     res = ipm_solve(A_std, lp.b, c_std, l_std, u_std, tol=tol,
-                    max_iter=max_iter)
+                    max_iter=max_iter, x0=x0_std, y0=y0)
     n = lp.n
     return IPMResult(x=res.x[:n], y=res.y, zl=res.zl[:n], zu=res.zu[:n],
                      obj_val=float(lp.c @ res.x[:n]),

@@ -179,8 +179,11 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
 
 def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
                       warm_start_solution=None) -> Output:
+    x0 = y0 = None
+    if warm_start_solution is not None:
+        x0, y0 = warm_start_solution
     res = ipm_general_lp(glp, tol=settings.barrierTol,
-                         max_iter=settings.barrierMaxIters)
+                         max_iter=settings.barrierMaxIters, x0=x0, y0=y0)
     status = res.status
     if status in ("STALLED", "ITERATION_LIMIT") and res.x is not None:
         # the IPM returns its best iterate; if it is moderately feasible it
