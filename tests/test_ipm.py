@@ -107,3 +107,33 @@ def test_ipm_dual_solution_quality(rng):
     rd = c - A.T @ res.y - res.zl + res.zu
     assert np.linalg.norm(rd) < 1e-6
     assert np.all(res.zl >= 0)
+
+
+def test_ipm_warm_start_reduces_iterations():
+    """A warm start from a solved instance's solution should converge in
+    fewer iterations than the cold solve, to the same objective; garbage
+    warm starts are ignored rather than poisoning the solve."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    m, n = 40, 120
+    A = sp.random(m, n, density=0.15, random_state=1, format="csr")
+    A = (A + sp.hstack([sp.eye(m), sp.csr_matrix((m, n - m))])).tocsr()
+    x0 = rng.random(n)
+    b = A @ x0
+    y0 = rng.normal(size=m)
+    c = A.T @ y0 + rng.random(n) + 0.01
+    l = np.zeros(n)
+    u = np.full(n, np.inf)
+
+    cold = ipm_solve(A, b, c, l, u)
+    assert cold.status == "OPTIMAL"
+    warm = ipm_solve(A, b, c, l, u, x0=cold.x, y0=cold.y)
+    assert warm.status == "OPTIMAL"
+    assert warm.obj_val == pytest.approx(cold.obj_val, rel=1e-8)
+    assert warm.iter_count <= cold.iter_count
+
+    nan_warm = ipm_solve(A, b, c, l, u,
+                         x0=np.full(n, np.nan), y0=np.full(m, np.nan))
+    assert nan_warm.status == "OPTIMAL"
+    assert nan_warm.obj_val == pytest.approx(cold.obj_val, rel=1e-8)
