@@ -104,6 +104,27 @@ def network_crossover(x: np.ndarray,
     timer.stop()
     cg_output = column_generation(manager, queue, solver, solver_settings)
 
+    if cg_output.status == "CG_FAILED":
+        # the crossover must still deliver an exact vertex when the column
+        # generation runs dry (e.g. a warm start too weak for the ranking,
+        # or residual numerical trouble after everything was freed): solve
+        # the original instance directly with the native network simplex
+        logger.warning("*** column generation failed; solving the full "
+                       "instance directly ***")
+        from smart_crossover_tpu.solvers.network_simplex import (
+            network_simplex_output,
+        )
+
+        target = ot.to_MCF() if ot is not None else mcf
+        direct = network_simplex_output(target)
+        total_runtime = (timer.total + (cg_output.runtime or timer.total * 0)
+                         + (direct.runtime or timer.total * 0))
+        return Output(x=direct.x, obj_val=direct.obj_val,
+                      runtime=total_runtime,
+                      iter_count=(cg_output.iter_count or 0) + push_iter
+                      + (direct.iter_count or 0),
+                      basis=direct.basis, status=direct.status)
+
     total_iters = (cg_output.iter_count or 0) + push_iter
     total_runtime = timer.total + (cg_output.runtime or timer.total * 0)
     logger.info("*** Optimal solution found with %s pivots in %s ***",

@@ -111,3 +111,18 @@ def test_cnet_mcf_tolerates_supply_roundoff(rng):
     out = network_crossover(x=x_warm, mcf=mcf, method="cnet_mcf")
     assert out.status == "OPTIMAL"
     assert out.obj_val == pytest.approx(exact.obj_val, rel=1e-6)
+
+
+def test_crossover_recovers_from_garbage_warm_start(rng):
+    """A warm start so bad the ranking frees arcs in a useless order must
+    still produce the exact optimum (direct-solve fallback on CG failure,
+    or plain CG success — either way the answer must be right)."""
+    ot = random_ot(rng, 12, 12)
+    x_garbage = np.zeros(144)
+    x_garbage[0] = 1e6  # all mass indicator on one arc, nothing elsewhere
+    out = network_crossover(x=x_garbage, ot=ot, method="cnet_ot")
+    assert out.status == "OPTIMAL"
+    mcf = ot.to_MCF()
+    ref = linprog(mcf.c, A_eq=mcf.A.toarray(), b_eq=mcf.b,
+                  bounds=[(0, None)] * mcf.n, method="highs")
+    assert out.obj_val == pytest.approx(ref.fun, abs=1e-8)
