@@ -24,6 +24,14 @@ import scipy.linalg as sla
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
+try:
+    from threadpoolctl import threadpool_limits as _tp_limits
+except ImportError:  # pragma: no cover - threadpoolctl ships with scipy
+    import contextlib
+
+    def _tp_limits(*_a, **_k):
+        return contextlib.nullcontext()
+
 # Normal-equation matrices A D A' of LPs with even moderately dense rows
 # fill in completely; factoring a (near-)dense SPD matrix with sparse LU is
 # ~20x slower than LAPACK Cholesky at m=1500 (measured: 1.0s vs 0.05s), so
@@ -49,14 +57,41 @@ def _factor_spd(M, reg):
     """
     m = M.shape[0]
     if m <= _DENSE_NE_MAX_M and M.nnz > _DENSE_NE_CUT * m * m:
-        Md = M.toarray()
-        Md[np.diag_indices_from(Md)] += reg
-        try:
-            cho = sla.cho_factor(Md, lower=True, overwrite_a=True,
-                                 check_finite=False)
-            return lambda rhs: sla.cho_solve(cho, rhs, check_finite=False)
-        except sla.LinAlgError:
-            pass  # not numerically PD -> sparse LU below
+        # All dense LAPACK here runs under a 1-thread BLAS limit: on shared
+        # small hosts OpenBLAS's thread synchronisation costs 50-70x at
+        # m~400 (343 ms vs 5 ms per dpotrf, measured) and still 5x at
+        # m=3000, so single-threaded is uniformly faster for our sizes.
+        Md0 = M.toarray()
+        # Network/transportation rows are linearly dependent (rank m-1), so
+        # M is often PSD-singular: retry Cholesky with a stronger shift
+        # before degrading to dense LU; never fall back to sparse LU here —
+        # factoring a 50%-dense matrix as sparse is ~100x slower.
+        with _tp_limits(limits=1, user_api="blas"):
+            for shift in (reg, 1e-10 * (1.0 + float(Md0.diagonal().max()))):
+                Md = Md0.copy()
+                Md[np.diag_indices_from(Md)] += shift
+                try:
+                    cho = sla.cho_factor(Md, lower=True, overwrite_a=True,
+                                         check_finite=False)
+
+                    def _solve_cho(rhs, _cho=cho):
+                        with _tp_limits(limits=1, user_api="blas"):
+                            return sla.cho_solve(_cho, rhs,
+                                                 check_finite=False)
+
+                    return _solve_cho
+                except sla.LinAlgError:
+                    continue
+            Md = Md0
+            Md[np.diag_indices_from(Md)] += reg
+            lu_piv = sla.lu_factor(Md, check_finite=False)
+            if np.abs(np.diag(lu_piv[0])).min() > 1e-300:
+
+                def _solve_lu(rhs, _lu=lu_piv):
+                    with _tp_limits(limits=1, user_api="blas"):
+                        return sla.lu_solve(_lu, rhs, check_finite=False)
+
+                return _solve_lu
     lu = spla.splu((M + reg * sp.eye(m)).tocsc())
     return lu.solve
 
