@@ -110,18 +110,41 @@ def _device_responsive(timeout: float = 120.0) -> bool:
 
 
 def main():
+    """Watchdog wrapper: the device bench runs in a child process with a
+    hard timeout, because the relay-attached chip can wedge MID-RUN (after
+    a successful probe); on timeout or failure the benchmark re-runs on the
+    CPU so the driver always gets its JSON line."""
     import os
+    import subprocess
     import sys
 
-    if os.environ.get("SCX_BENCH_NO_PROBE") != "1" and not _device_responsive():
-        # fall back to CPU so the driver still gets a benchmark line
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PALLAS_AXON_POOL_IPS"] = ""   # disable the TPU plugin relay
-        env["SCX_BENCH_NO_PROBE"] = "1"
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
-                  env)
+    if os.environ.get("SCX_BENCH_CHILD") == "1":
+        _run_bench()
+        return
+
+    env = dict(os.environ)
+    env["SCX_BENCH_CHILD"] = "1"
+    if os.environ.get("SCX_BENCH_NO_PROBE") != "1" and _device_responsive():
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=480, capture_output=True,
+                               text=True)
+            line = next((ln for ln in r.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                print(line)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""   # disable the TPU plugin relay
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+              env)
+
+
+def _run_bench():
+    import os
 
     import jax
 
