@@ -25,7 +25,6 @@ from smart_crossover_tpu.ops.ranking import (
     sort_flows,
 )
 from smart_crossover_tpu.parameters import (
-    TOLERANCE_FOR_ARTIFICIAL_VARS,
     TOLERANCE_FOR_REDUCED_COSTS,
 )
 from smart_crossover_tpu.solvers.network_simplex import network_simplex
