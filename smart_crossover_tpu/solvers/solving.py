@@ -25,6 +25,7 @@ import logging
 from typing import Optional, Tuple, Union
 
 import numpy as np
+from scipy.sparse import issparse as sp_issparse
 
 from smart_crossover_tpu.models import (
     Basis,
@@ -118,6 +119,7 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
     if settings is None:
         settings = SolverSettings()
     glp = _as_general(lp)
+    _check_finite_lp(glp)
 
     out = None
     offset_applied = False
@@ -175,6 +177,18 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
         "'barrier_perturb'/'perturb'/'smart_crossover', 'simplex', "
         "'primal_simplex', 'dual_simplex', 'network_simplex', "
         "'first_order'/'pdhg'.")
+
+
+def _check_finite_lp(glp: GeneralLP) -> None:
+    """Reject non-finite problem data up front: NaN/inf in A, b or c would
+    otherwise grind through a solver to a confusing NUMERICAL_ERROR."""
+    data = glp.A.data if sp_issparse(glp.A) else np.asarray(glp.A)
+    if not (np.all(np.isfinite(data)) and np.all(np.isfinite(glp.b))
+            and np.all(np.isfinite(glp.c))):
+        raise ValueError("LP data contains NaN/inf entries (A, b or c); "
+                         "bounds l/u may be infinite but not NaN")
+    if np.any(np.isnan(glp.l)) or np.any(np.isnan(glp.u)):
+        raise ValueError("LP bounds contain NaN entries")
 
 
 def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
