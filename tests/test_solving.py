@@ -207,3 +207,23 @@ def test_barrier_perturb_feasibility_problem_falls_back(rng):
     out = solve_lp(lp, method="barrier_perturb")
     assert out.status == "OPTIMAL"
     assert out.obj_val == pytest.approx(0.0, abs=1e-9)
+
+
+def test_solve_lp_rejects_nonfinite_data(rng):
+    import dataclasses
+
+    import scipy.sparse as sp
+
+    lp = GeneralLP(A=sp.csr_matrix(np.array([[1.0, 1.0]])), b=np.ones(1),
+                   c=np.ones(2), l=np.zeros(2), u=np.full(2, np.inf),
+                   sense=np.array(["="]))
+    assert solve_lp(lp, method="barrier").status == "OPTIMAL"
+    with pytest.raises(ValueError, match="NaN/inf"):
+        solve_lp(dataclasses.replace(lp, c=np.array([1.0, np.nan])),
+                 method="barrier")
+    with pytest.raises(ValueError, match="NaN/inf"):
+        solve_lp(dataclasses.replace(lp, b=np.array([np.inf])),
+                 method="simplex")
+    with pytest.raises(ValueError, match="NaN"):
+        solve_lp(dataclasses.replace(lp, l=np.array([np.nan, 0.0])),
+                 method="barrier")
