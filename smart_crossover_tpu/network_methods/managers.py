@@ -25,6 +25,7 @@ from smart_crossover_tpu.ops.ranking import (
     sort_flows,
 )
 from smart_crossover_tpu.parameters import (
+    TOLERANCE_FOR_ARTIFICIAL_VARS,
     TOLERANCE_FOR_REDUCED_COSTS,
 )
 from smart_crossover_tpu.solvers.network_simplex import network_simplex
@@ -109,13 +110,14 @@ class MCFManager:
         return obj_val * self.c_rescaling_factor
 
     def _artificial_tol(self) -> float:
-        """Scale-aware zero test for artificial flows: node supplies printed
-        or computed in floats carry O(m * eps_print) imbalance that only the
-        big-M arcs can absorb, so an absolute 1e-8 cutoff misfires on large
-        instances.  Mirrors network_simplex's own max(tol*m, 1e-6) gate
-        (solvers/network_simplex.py declares OPTIMAL below the same floor)."""
-        return max(1e-6, 1e-9 * self.m,
-                   1e-12 * float(np.abs(self.mcf.b).sum()))
+        """Zero test for artificial flows, gated on the reference constant
+        TOLERANCE_FOR_ARTIFICIAL_VARS (reference parameters.py:7) made
+        *relative* to the total supply: supplies printed to ~8 significant
+        digits carry at most 0.5e-8 * sum|b| net imbalance that only the
+        big-M arcs can absorb, and 1e-8 * max(1, sum|b|) covers exactly
+        that while rejecting anything materially infeasible."""
+        return TOLERANCE_FOR_ARTIFICIAL_VARS * max(
+            1.0, float(np.abs(self.mcf.b).sum()))
 
     def objective(self, x: np.ndarray) -> float:
         """True objective of a recovered full solution (includes the
@@ -340,8 +342,9 @@ class OTManager:
         return obj_val
 
     def _artificial_tol(self) -> float:
-        return max(1e-6, 1e-9 * self.mcf.m,
-                   1e-12 * float(np.abs(self.mcf.b).sum()))
+        # same relative TOLERANCE_FOR_ARTIFICIAL_VARS gate as MCFManager
+        return TOLERANCE_FOR_ARTIFICIAL_VARS * max(
+            1.0, float(np.abs(self.mcf.b).sum()))
 
     def objective(self, x: np.ndarray) -> float:
         val = float(self.mcf.c @ x)

@@ -54,6 +54,10 @@ def certify_lp(lp: GeneralLP, x: np.ndarray, y: np.ndarray,
     dviol = np.where(lo_slack <= feas_tol * scale_b, np.maximum(-rc, 0.0),
                      np.where(up_slack <= feas_tol * scale_b,
                               np.maximum(rc, 0.0), np.abs(rc)))
+    # fixed columns (l == u) may carry any reduced cost at optimality
+    fixed = (np.isfinite(lp.l) & np.isfinite(lp.u)
+             & (lp.u - lp.l <= feas_tol * scale_b))
+    dviol = np.where(fixed, 0.0, dviol)
     # '<' rows need y <= 0
     yviol = np.maximum(np.where(~eq, y, 0.0), 0.0)
     dinf = float(max(dviol.max(initial=0.0), yviol.max(initial=0.0))

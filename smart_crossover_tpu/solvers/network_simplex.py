@@ -356,10 +356,14 @@ def _network_simplex_py(mcf: MinCostFlow,
         leaving = e
         leave_k = -1
         leaving_to = _AT_UPPER if direction == 1 else _AT_LOWER
+        bland = degen_run > 2 * m + 50
         for k, (a, d) in enumerate(zip(cyc_arcs, cyc_delta)):
             room = (cap[a] - x[a]) if d == 1 else x[a]
-            if room < theta - 1e-15:
-                theta = room
+            take = room < theta - 1e-15
+            if bland and not take and room < theta + 1e-15 and a < leaving:
+                take = True  # tie -> smallest arc index, for termination
+            if take:
+                theta = min(theta, room)
                 leaving = a
                 leave_k = k
                 leaving_to = _AT_UPPER if d == 1 else _AT_LOWER

@@ -35,11 +35,32 @@ class PresolveInfo:
     kept_cols: np.ndarray
     fixed_values: np.ndarray       # over original columns (nan = kept)
     obj_offset: float
+    # (row, col) of each singleton-'='-row substitution, in application
+    # order; postsolve_y replays them in reverse to rebuild exact duals
+    singleton_fixes: list = None
 
     def postsolve_x(self, x_red: np.ndarray) -> np.ndarray:
         x = self.fixed_values.copy()
         x[self.kept_cols] = x_red
         return x
+
+    def postsolve_y(self, y_red: np.ndarray, lp: GeneralLP) -> np.ndarray:
+        """Lift reduced-space duals to the original rows.
+
+        Empty rows take y=0 (no coefficients).  Each dropped singleton row i
+        that fixed column j gets the unique y_i zeroing that column's reduced
+        cost, y_i = (c_j - sum_{k != i} A_kj y_k) / A_ij, replayed in reverse
+        substitution order so chained singletons resolve correctly."""
+        y = np.zeros(lp.m)
+        y[self.kept_rows] = y_red
+        if self.singleton_fixes:
+            A = sp.csc_matrix(lp.A)
+            for i, j in reversed(self.singleton_fixes):
+                col = A.getcol(j)
+                aij = col[i, 0]
+                rest = float(col.T @ y) - aij * y[i]
+                y[i] = (lp.c[j] - rest) / aij
+        return y
 
 
 def presolve_lp(lp: GeneralLP, tol: float = 1e-10,
@@ -58,6 +79,7 @@ def presolve_lp(lp: GeneralLP, tol: float = 1e-10,
     row_alive = np.ones(m0, dtype=bool)
     fixed_values = np.full(n0, np.nan)
     obj_offset = 0.0
+    singleton_fixes: list = []
 
     def fix_column(j: int, val: float):
         nonlocal obj_offset, b
@@ -109,6 +131,7 @@ def presolve_lp(lp: GeneralLP, tol: float = 1e-10,
                     "INFEASIBLE", f"singleton row {i} forces x[{j}]={val} "
                     f"outside [{l[j]}, {u[j]}]")
             fix_column(j, val)
+            singleton_fixes.append((int(i), int(j)))
             row_alive[i] = False
             changed = True
 
@@ -140,5 +163,6 @@ def presolve_lp(lp: GeneralLP, tol: float = 1e-10,
                        sense=sense[kept_rows],
                        name=lp.name + "_presolved")
     info = PresolveInfo(kept_rows=kept_rows, kept_cols=kept_cols,
-                        fixed_values=fixed_values, obj_offset=obj_offset)
+                        fixed_values=fixed_values, obj_offset=obj_offset,
+                        singleton_fixes=singleton_fixes)
     return lp_red, info

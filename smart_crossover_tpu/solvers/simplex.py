@@ -272,6 +272,11 @@ def primal_simplex(A, b, c, l, u,
         ratios = np.full(xb.size, np.inf)
         ratios[ok] = np.maximum((bound[ok] - xb[ok]) / dxb[ok], 0.0)
         k = int(np.argmin(ratios)) if xb.size else -1
+        if k >= 0 and degen_run > m + 200:
+            # Bland mode: break leaving ties by smallest variable index too —
+            # smallest-index entering alone does not guarantee termination
+            tied = np.nonzero(ratios <= ratios[k])[0]
+            k = int(tied[np.argmin(basic[tied])])
         if k >= 0 and ratios[k] < theta - 1e-12:
             theta = ratios[k]
             leave_pos = k

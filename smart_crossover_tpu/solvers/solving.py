@@ -123,7 +123,19 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
 
     out = None
     offset_applied = False
-    if method == "barrier":
+    if (settings.presolve == "on" and warm_start_basis is None
+            and warm_start_solution is None
+            and method in ("default", "simplex", "primal_simplex",
+                           "dual_simplex", "barrier")):
+        # real presolve, matching the reference's vendor Presolve knob
+        # (reference caller.py:17-41 / filehandling.py:62-74); only takes
+        # over when it actually removes something, and never when a warm
+        # start pins the caller to the original index space
+        out = _solve_lp_presolved(glp, solver, method, settings)
+        offset_applied = out is not None
+    if out is not None:
+        pass
+    elif method == "barrier":
         out = _solve_lp_barrier(glp, settings, warm_start_solution)
     elif method in ("barrier_perturb", "perturb", "smart_crossover"):
         # the framework's own crossover: barrier + optimal-face estimation +
@@ -189,6 +201,61 @@ def _check_finite_lp(glp: GeneralLP) -> None:
                          "bounds l/u may be infinite but not NaN")
     if np.any(np.isnan(glp.l)) or np.any(np.isnan(glp.u)):
         raise ValueError("LP bounds contain NaN entries")
+
+
+def _solve_lp_presolved(glp: GeneralLP, solver: str, method: str,
+                        settings: SolverSettings) -> Optional[Output]:
+    """Presolve the LP, solve the reduction, and lift the answer back.
+
+    Returns None when presolve removes nothing (the plain path runs), an
+    INFEASIBLE/UNBOUNDED Output when presolve proves it, and otherwise the
+    postsolved Output in the original index space: primal via
+    PresolveInfo.postsolve_x, duals via PresolveInfo.postsolve_y (exact dual
+    reconstruction for dropped singleton rows), basis extended with fixed
+    columns nonbasic and dropped rows logically basic."""
+    from dataclasses import replace as _replace
+
+    from smart_crossover_tpu.solvers.presolve import (
+        PresolveError,
+        presolve_lp,
+    )
+
+    try:
+        red, info = presolve_lp(glp)
+    except PresolveError as e:
+        return Output(runtime=datetime.timedelta(0), status=e.status)
+    if red.n == glp.n and red.m == glp.m:
+        return None
+    if red.n == 0:
+        x = info.fixed_values.copy()
+        obj = float(glp.c @ x) + glp.obj_offset
+        y = info.postsolve_y(np.zeros(0), glp)
+        return Output(x=x, y=y, obj_val=obj, rcost=glp.get_dual_slack(y),
+                      runtime=datetime.timedelta(0), iter_count=0,
+                      status="OPTIMAL")
+    out = solve_lp(red, solver=solver, method=method,
+                   settings=_replace(settings, presolve="off"))
+    if out.x is None:
+        return Output(runtime=out.runtime, status=out.status,
+                      iter_count=out.iter_count,
+                      bar_iter_count=out.bar_iter_count)
+    x = info.postsolve_x(out.x)
+    y = None
+    rcost = None
+    if out.y is not None:
+        y = info.postsolve_y(out.y, glp)
+        rcost = glp.get_dual_slack(y)
+    basis = None
+    if out.basis is not None:
+        vbasis = np.full(glp.n, -1, dtype=np.int32)
+        vbasis[info.kept_cols] = out.basis.vbasis
+        cbasis = np.zeros(glp.m, dtype=np.int32)
+        cbasis[info.kept_rows] = out.basis.cbasis
+        basis = Basis(vbasis, cbasis)
+    x_bar = info.postsolve_x(out.x_bar) if out.x_bar is not None else None
+    obj = float(glp.c @ x) + glp.obj_offset
+    return _replace(out, x=x, y=y, x_bar=x_bar, obj_val=obj, rcost=rcost,
+                    basis=basis)
 
 
 def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
@@ -374,8 +441,11 @@ def solve_ot(ot: OptTransport,
         x = sinkhorn(ot, reg=settings.sinkhornReg,
                      num_iters=settings.firstOrderMaxIters)
         rt = datetime.timedelta(seconds=time.perf_counter() - t0)
+        # entropic-regularised plan: feasible in the marginals but NOT an
+        # LP-optimal vertex — report it as such so downstream status checks
+        # can tell it from an exact solve
         return Output(x=x, x_bar=x, obj_val=float(ot.M.ravel() @ x),
-                      runtime=rt, status="OPTIMAL",
+                      runtime=rt, status="APPROXIMATE",
                       bar_iter_count=settings.firstOrderMaxIters)
     if method == "device_simplex":
         # fully device-resident exact solve (TNET identification + batched

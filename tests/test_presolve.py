@@ -99,3 +99,73 @@ def test_mps_roundtrip(rng, tmp_path):
     ref1 = highs_obj(lp)
     ref2 = highs_obj(lp2)
     assert ref1.fun == pytest.approx(ref2.fun, abs=1e-9)
+
+def test_solve_lp_runs_presolve_when_on(rng):
+    """presolve='on' must actually reduce the LP in solve_lp (ADVICE r1) and
+    the postsolved answer must match HiGHS on the original instance."""
+    m, n = 6, 10
+    A = rng.standard_normal((m, n))
+    A[2, :] = 0.0                        # empty row
+    A[3, :] = 0.0
+    A[3, 7] = 2.0                        # singleton '=' row fixes x7
+    x0 = rng.uniform(0.2, 0.8, n)
+    l = np.zeros(n)
+    u = np.ones(n)
+    l[5] = u[5] = 0.4                    # fixed column
+    x0[5] = 0.4
+    b = A @ x0
+    b[2] = 0.0
+    c = rng.standard_normal(n)
+    lp = GeneralLP(A=A, b=b, c=c, l=l, u=u, sense=np.full(m, "="))
+    ref = highs_obj(lp)
+    assert ref.status == 0
+
+    from smart_crossover_tpu.solvers.settings import SolverSettings
+    for method in ("simplex", "barrier"):
+        out = solve_lp(lp, method=method,
+                       settings=SolverSettings(presolve="on", crossover="on"))
+        assert out.status == "OPTIMAL"
+        assert out.obj_val == pytest.approx(ref.fun, abs=1e-7)
+        assert out.x.size == n
+        assert out.x[5] == pytest.approx(0.4, abs=1e-9)
+        assert out.x[7] == pytest.approx(b[3] / 2.0, abs=1e-9)
+        np.testing.assert_allclose(np.asarray(lp.A) @ out.x, b, atol=1e-7)
+        assert out.y is not None and out.y.size == m
+        assert out.basis is not None and out.basis.vbasis.size == n
+
+    # the warm simplex restarted from the presolved basis must accept it
+    out2 = solve_lp(lp, method="simplex", warm_start_basis=out.basis,
+                    settings=SolverSettings(presolve="on"))
+    assert out2.status == "OPTIMAL"
+    assert out2.obj_val == pytest.approx(ref.fun, abs=1e-7)
+
+
+def test_solve_lp_presolve_detects_infeasible_singleton(rng):
+    A = np.zeros((1, 2))
+    A[0, 0] = 1.0
+    lp = GeneralLP(A=A, b=np.array([5.0]), c=np.ones(2),
+                   l=np.zeros(2), u=np.ones(2), sense=np.array(["="]))
+    from smart_crossover_tpu.solvers.settings import SolverSettings
+    out = solve_lp(lp, method="simplex",
+                   settings=SolverSettings(presolve="on"))
+    assert out.status == "INFEASIBLE"
+
+
+def test_certify_lp_accepts_fixed_columns_with_any_rcost(rng):
+    """A fixed column (l == u) may carry arbitrary reduced cost at
+    optimality (ADVICE r1)."""
+    from smart_crossover_tpu.solvers.certificates import certify_lp
+
+    n = 5
+    A = np.eye(2, n)
+    l = np.zeros(n)
+    u = np.ones(n)
+    l[4] = u[4] = 0.5
+    c = np.ones(n)
+    c[4] = -100.0                        # huge negative rc on the fixed col
+    x0 = np.array([0.3, 0.7, 0.0, 0.0, 0.5])
+    lp = GeneralLP(A=A, b=A @ x0, c=c, l=l, u=u, sense=np.full(2, "="))
+    out = solve_lp(lp, method="simplex")
+    assert out.status == "OPTIMAL"
+    cert = certify_lp(lp, out.x, out.y)
+    assert cert.optimal
