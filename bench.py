@@ -89,10 +89,12 @@ def cpu_reference_pipeline(s, d, M, reg=0.05, sinkhorn_iters=200):
     return Xt
 
 
-def _device_responsive(timeout: float = 120.0) -> bool:
+def _device_responsive(timeout: float = 240.0) -> bool:
     """Probe the default JAX device in a SUBPROCESS: the relay-attached TPU
     in this environment can wedge (a hung dispatch can't be interrupted
-    in-process), and a wedged chip must not stall the benchmark."""
+    in-process), and a wedged chip must not stall the benchmark.  The
+    timeout is deliberately long — killing a slow-but-alive dispatch is what
+    wedges the relay in the first place."""
     import os
     import subprocess
     import sys
@@ -113,7 +115,8 @@ def main():
     """Watchdog wrapper: the device bench runs in a child process with a
     hard timeout, because the relay-attached chip can wedge MID-RUN (after
     a successful probe); on timeout or failure the benchmark re-runs on the
-    CPU so the driver always gets its JSON line."""
+    CPU so the driver always gets its JSON line — tagged with the fallback
+    reason so a CPU line can never be mistaken for a TPU measurement."""
     import os
     import subprocess
     import sys
@@ -124,20 +127,42 @@ def main():
 
     env = dict(os.environ)
     env["SCX_BENCH_CHILD"] = "1"
-    if os.environ.get("SCX_BENCH_NO_PROBE") != "1" and _device_responsive():
-        try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=480, capture_output=True,
-                               text=True)
-            line = next((ln for ln in r.stdout.splitlines()
-                         if ln.startswith("{")), None)
-            if r.returncode == 0 and line:
-                print(line)
-                return
-        except subprocess.TimeoutExpired:
-            pass
+    fallback_reason = None
+    if os.environ.get("SCX_BENCH_NO_PROBE") == "1":
+        fallback_reason = "probe disabled via SCX_BENCH_NO_PROBE"
+    else:
+        # The relay can stay wedged for tens of minutes after any
+        # timeout-killed device process, so one failed probe is not proof
+        # the chip is gone: retry with a long backoff before giving up.
+        attempts = int(os.environ.get("SCX_BENCH_PROBE_ATTEMPTS", "3"))
+        backoff = float(os.environ.get("SCX_BENCH_PROBE_BACKOFF", "240"))
+        probed_ok = False
+        for i in range(attempts):
+            if _device_responsive():
+                probed_ok = True
+                break
+            if i + 1 < attempts:
+                time.sleep(backoff)
+        if not probed_ok:
+            fallback_reason = (
+                f"device probe failed {attempts}x (backoff {backoff:.0f}s)")
+        else:
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=900, capture_output=True, text=True)
+                line = next((ln for ln in r.stdout.splitlines()
+                             if ln.startswith("{")), None)
+                if r.returncode == 0 and line:
+                    print(line)
+                    return
+                fallback_reason = (
+                    f"device bench exited rc={r.returncode} without JSON")
+            except subprocess.TimeoutExpired:
+                fallback_reason = "device bench timed out mid-run (900s)"
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""   # disable the TPU plugin relay
+    env["SCX_BENCH_FALLBACK_REASON"] = fallback_reason or "unknown"
     os.execve(sys.executable,
               [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
               env)
@@ -196,18 +221,25 @@ def _run_bench():
     cpu_dt = (time.perf_counter() - t0) / nb
     cpu_inst_per_sec = 1.0 / cpu_dt
 
+    detail = {
+        "backend": backend,
+        "batch": B, "S": S, "D": D,
+        "sinkhorn_iters": iters,
+        "cpu_reference_instances_per_sec": round(cpu_inst_per_sec, 4),
+        "feasible_vertices": bool(feas),
+    }
+    reason = os.environ.get("SCX_BENCH_FALLBACK_REASON")
+    if backend != "tpu":
+        detail["fallback"] = True
+        detail["fallback_reason"] = reason or "non-tpu default backend"
+        detail["note"] = ("CPU fallback at reduced shape - NOT comparable "
+                          "to the TPU headline (see BENCH.md)")
     print(json.dumps({
         "metric": "batched_ot_tnet_crossover_throughput",
         "value": round(inst_per_sec, 3),
         "unit": "instances/s/chip",
         "vs_baseline": round(inst_per_sec / cpu_inst_per_sec, 3),
-        "detail": {
-            "backend": backend,
-            "batch": B, "S": S, "D": D,
-            "sinkhorn_iters": iters,
-            "cpu_reference_instances_per_sec": round(cpu_inst_per_sec, 4),
-            "feasible_vertices": bool(feas),
-        },
+        "detail": detail,
     }))
 
 
