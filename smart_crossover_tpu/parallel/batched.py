@@ -128,27 +128,41 @@ def sharded_batched_tnet(mesh, s, d, M, reg: float = 0.02,
     return fn(s, d, M)
 
 
-@partial(jax.jit, static_argnames=("reg", "sinkhorn_iters", "max_pivots"))
+@partial(jax.jit, static_argnames=("reg", "sinkhorn_iters", "max_pivots",
+                                   "engine"))
 def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
                               sinkhorn_iters: int = 1000,
-                              max_pivots: int = 5000):
+                              max_pivots: int = 5000,
+                              engine: str = "parent"):
     """EXACT batched OT crossover, fully device-resident.
 
     The TNET pipeline identifies a feasible tree vertex per instance; its
     support is completed to a spanning-tree basis (Borůvka over the support
-    indicator) and the batched device transportation simplex
-    (ops/transport_simplex.py) pivots to optimality — no host round trip.
+    indicator) and the batched device transportation simplex pivots to
+    optimality — no host round trip.
+
+    ``engine='parent'`` (default) uses the parent-array/binary-lifting
+    simplex (ops/transport_simplex_parent.py): O(V log V) gathers per pivot
+    plus one dense pricing pass.  ``engine='mask'`` keeps the original
+    dense-propagation implementation (ops/transport_simplex.py) as the
+    correctness oracle.
 
     Returns (X, obj, push_iters, pivots, optimal_mask).
     """
     from smart_crossover_tpu.ops.mst import boruvka_bipartite_mst
     from smart_crossover_tpu.ops.transport_simplex import transport_simplex
+    from smart_crossover_tpu.ops.transport_simplex_parent import (
+        transport_simplex_parent,
+    )
+
+    pivot_fn = (transport_simplex_parent if engine == "parent"
+                else transport_simplex)
 
     def one(s_, d_, M_):
         X0, push_iters, _ = tnet_single(s_, d_, M_, reg, sinkhorn_iters)
         support = (X0 > 1e-12).astype(M_.dtype)
         Bm = boruvka_bipartite_mst(support)
-        X, Bm2, pivots, optimal = transport_simplex(
+        X, Bm2, pivots, optimal = pivot_fn(
             X0, Bm, M_, s_, d_, max_pivots=max_pivots)
         return X, jnp.sum(X * M_), push_iters, pivots, optimal
 
