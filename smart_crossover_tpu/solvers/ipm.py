@@ -39,6 +39,17 @@ except ImportError:  # pragma: no cover - threadpoolctl ships with scipy
 _DENSE_NE_CUT = 0.2     # nnz(M)/m^2 above which the dense path is used
 _DENSE_NE_MAX_M = 4096  # dense m x m memory cap (~128 MB f64)
 
+# Above this row count, node-arc incidence A routes the normal equations to
+# the tree-preconditioned PCG (solvers/laplacian.py) instead of a direct
+# factorisation: graph Laplacians fill in catastrophically under generic
+# orderings (STATUS.md #3) while the spanning-forest preconditioner tracks
+# the IPM scaling.  Below it, direct factorisation is already fast.
+_NE_PCG_MIN_M = 2000
+
+import os as _os
+
+_IPM_DEBUG = bool(_os.environ.get("SCX_IPM_DEBUG"))
+
 
 def _scaled(A, d):
     """Column-scaled copy A @ diag(d) without a sparse matmat (csr only)."""
@@ -204,6 +215,17 @@ def ipm_solve(A, b, c, l, u,
     bnorm = 1.0 + np.linalg.norm(b)
     cnorm = 1.0 + np.linalg.norm(c)
 
+    # network detection for the tree-PCG normal-equations path (large MCF)
+    net_struct = None
+    pcg_failed = False
+    d_cap = 1e10   # tightened adaptively on PCG breakdown (see below)
+    if not use_augmented and m >= _NE_PCG_MIN_M:
+        from smart_crossover_tpu.solvers.laplacian import analyze_network
+
+        net_struct = analyze_network(A)
+    A_sq = A.copy()
+    A_sq.data = A_sq.data ** 2   # diag(A D A') = A_sq @ d, without forming M
+
     status = "ITERATION_LIMIT"
     it = 0
     best = None
@@ -320,18 +342,102 @@ def ipm_solve(A, b, c, l, u,
                     return dx, dy
         else:
             d = 1.0 / np.maximum(dinv, 1e-14)
-            d = np.minimum(d, 1e14)
-            ADAt = _scaled(A, d) @ AT
-            reg = 1e-12 * (1.0 + ADAt.diagonal().max())
-            try:
-                solveM = _factor_spd(ADAt, reg)
-            except RuntimeError:
-                solveM = _factor_spd(ADAt, 1e-6)
+            # In the iterative (PCG) path a 1e14 spread in d amplifies f64
+            # roundoff past the 1e-8 primal target (the normal-equations rhs
+            # mixes components ~1e6x apart); capping the scaling acts as a
+            # primal proximal regularisation (Saunders) and restores the
+            # attainable accuracy floor.  The direct path keeps the looser
+            # cap — the factorisation absorbs the spread.
+            d = np.minimum(d, d_cap if (net_struct is not None
+                                        and not pcg_failed) else 1e14)
+            solveM = None
+            if net_struct is not None and not pcg_failed:
+                from smart_crossover_tpu.solvers.laplacian import (
+                    make_tree_pcg_ne_solver,
+                )
+
+                diag_M = A_sq @ d
+                reg = 1e-12 * (1.0 + float(diag_M.max(initial=0.0)))
+                # NO regularisation inside the PCG operator: with d capped
+                # at 1e10 the diagonal max makes a diag-scaled reg ~1e-1,
+                # which injects reg*|dy| of primal error into every step
+                # (measured: the exact NEAR_OPTIMAL plateau of VERDICT item
+                # 3's repro).  Singularity is handled by explicit component
+                # grounding instead.  reg stays for the direct fallback.
+                pcg_solve = make_tree_pcg_ne_solver(
+                    net_struct, A, AT, d, 0.0,
+                    abs_tol=1e-2 * tol * bnorm)
+                _direct: list = []
+
+                def solveM(rhs_y, _pcg=pcg_solve, _d=d, _reg=reg):
+                    nonlocal pcg_failed
+                    if not pcg_failed:
+                        try:
+                            return _pcg(rhs_y)
+                        except RuntimeError:
+                            if m > 4000:
+                                # a direct factorisation of a big graph
+                                # Laplacian is the fill-in blowup this path
+                                # exists to avoid; surface the breakdown and
+                                # let the loop return the best iterate
+                                raise
+                            pcg_failed = True   # direct for the rest of solve
+                    if not _direct:
+                        _direct.append(
+                            _factor_spd(_scaled(A, _d) @ AT, _reg))
+                    return _direct[0](rhs_y)
+            if solveM is None:
+                ADAt = _scaled(A, d) @ AT
+                reg = 1e-12 * (1.0 + ADAt.diagonal().max())
+                try:
+                    base_solve = _factor_spd(ADAt, reg)
+                except RuntimeError:
+                    base_solve = _factor_spd(ADAt, 1e-6)
+
+                def solveM(rhs_y, _s=base_solve, _M=ADAt, _reg=reg):
+                    # one step of f64 iterative refinement: closes most of
+                    # the conditioning gap on banded/staircase instances
+                    # (STATUS.md #6, VERDICT.md item 8) for one extra
+                    # back-solve on the existing factorisation
+                    dy = _s(rhs_y)
+                    r = rhs_y - (_M @ dy + _reg * dy)
+                    rn = np.linalg.norm(r)
+                    if np.isfinite(rn) and rn > 1e-14 * (
+                            1.0 + np.linalg.norm(rhs_y)):
+                        dy = dy + _s(r)
+                    return dy
+
+            iterative_ne = net_struct is not None and not pcg_failed
 
             def kkt_solve(rhs_x, rp):
                 rhs_y = rp + A @ (d * rhs_x)
                 dy = solveM(rhs_y)
                 dx = d * (AT @ dy - rhs_x)
+                if iterative_ne:
+                    # KKT-level refinement: the NE rhs mixes components up
+                    # to ~1e6x the primal scale, so even a tight PCG solve
+                    # leaves A dx != rp by more than the 1e-8 target.  The
+                    # correction system has the SMALL residual as its rhs,
+                    # where the same relative tolerance is plenty.
+                    # loop: each pass cuts the error by the PCG tolerance;
+                    # skipped while the step error is drowned by the current
+                    # primal residual anyway (early iterations)
+                    for _ in range(3):
+                        rp_err = rp - A @ dx
+                        rn = np.linalg.norm(rp_err)
+                        if rn <= (1e-13 * bnorm
+                                  + 1e-4 * np.linalg.norm(rp)):
+                            break
+                        dy_e = solveM(rp_err)
+                        dx_e = d * (AT @ dy_e)
+                        if np.linalg.norm(rp_err - A @ dx_e) >= rn:
+                            break   # no longer improving (f64 floor)
+                        dx = dx + dx_e
+                        dy = dy + dy_e
+                    if _IPM_DEBUG:
+                        print(f"   kkt: |rp_err|={np.linalg.norm(rp - A @ dx):.2e}"
+                              f" |rp|={np.linalg.norm(rp):.2e}"
+                              f" |dx|={np.abs(dx).max():.2e}")
                 return dx, dy
 
         def solve_newton(rp, rd, rcl, rcu):
@@ -352,7 +458,19 @@ def ipm_solve(A, b, c, l, u,
         # --- affine (predictor) step ---
         rcl_aff = np.where(has_l, -p * zl, 0.0)
         rcu_aff = np.where(has_u, -q * zu, 0.0)
-        dx_a, dy_a, dzl_a, dzu_a = solve_newton(r_p, r_d, rcl_aff, rcu_aff)
+        try:
+            dx_a, dy_a, dzl_a, dzu_a = solve_newton(
+                r_p, r_d, rcl_aff, rcu_aff)
+        except RuntimeError:
+            # tree-PCG breakdown on an extreme scaling spread: tighten the
+            # cap (a stronger proximal regularisation narrows the numerical
+            # range) and redo the iteration; give up only when the cap is
+            # too tight to make progress anyway
+            if d_cap > 1e6:
+                d_cap /= 100.0
+                continue
+            status = "STALLED"
+            break
 
         def max_step(v, dv, mask):
             neg = mask & (dv < 0)
@@ -375,7 +493,14 @@ def ipm_solve(A, b, c, l, u,
                        - np.where(has_l, dx_a, 0.0) * dzl_a, 0.0)
         rcu = np.where(has_u, sigma * mu - q * zu
                        + np.where(has_u, dx_a, 0.0) * dzu_a, 0.0)
-        dx, dy, dzl, dzu = solve_newton(r_p, r_d, rcl, rcu)
+        try:
+            dx, dy, dzl, dzu = solve_newton(r_p, r_d, rcl, rcu)
+        except RuntimeError:
+            if d_cap > 1e6:
+                d_cap /= 100.0
+                continue
+            status = "STALLED"
+            break
 
         ap = 0.9995 * min(max_step(p, dx, has_l), max_step(q, -dx, has_u))
         ad = 0.9995 * min(max_step(zl, dzl, has_l), max_step(zu, dzu, has_u))
@@ -403,8 +528,11 @@ def ipm_solve(A, b, c, l, u,
             tgt_u = np.clip(vu, 0.1 * mu_t, 10.0 * mu_t)
             ccl = np.where(has_l, tgt_l - vl, 0.0)
             ccu = np.where(has_u, tgt_u - vu, 0.0)
-            cdx, cdy, cdzl, cdzu = solve_newton(
-                np.zeros(m), np.zeros(n), ccl, ccu)
+            try:
+                cdx, cdy, cdzl, cdzu = solve_newton(
+                    np.zeros(m), np.zeros(n), ccl, ccu)
+            except RuntimeError:
+                break   # corrector is optional; keep the accepted direction
             dx2, dy2 = dx + cdx, dy + cdy
             dzl2, dzu2 = dzl + cdzl, dzu + cdzu
             ap2 = 0.9995 * min(max_step(p, dx2, has_l),
@@ -441,16 +569,23 @@ def ipm_solve(A, b, c, l, u,
         cur_score = max(np.linalg.norm(b - A @ x) / bnorm,
                         np.linalg.norm(c - AT @ y - zl + zu) / cnorm)
         if best_score < cur_score:
-            x, y, zl, zu, b_pinf, b_dinf, b_gap = best
-            if status in ("STALLED", "ITERATION_LIMIT"):
-                if b_pinf < tol and b_dinf < tol and b_gap < tol:
-                    status = "OPTIMAL"
-                elif (b_pinf < 100 * tol and b_dinf < 100 * tol
-                        and b_gap < 100 * tol):
-                    # machine-precision plateau within 100x of the target:
-                    # honest label; the crossover consumers accept it (the
-                    # final simplex certifies exactness regardless)
-                    status = "NEAR_OPTIMAL"
+            x, y, zl, zu, _, _, _ = best
+        if status in ("STALLED", "ITERATION_LIMIT"):
+            # grade the final iterate (restored OR current-best) honestly
+            f_pinf = np.linalg.norm(b - A @ x) / bnorm
+            f_dinf = np.linalg.norm(c - AT @ y - zl + zu) / cnorm
+            f_pobj = float(c @ x)
+            f_dobj = float(b @ y + l[has_l] @ zl[has_l]
+                           - u[has_u] @ zu[has_u])
+            f_gap = abs(f_pobj - f_dobj) / (1.0 + abs(f_pobj) + abs(f_dobj))
+            if f_pinf < tol and f_dinf < tol and f_gap < tol:
+                status = "OPTIMAL"
+            elif (f_pinf < 100 * tol and f_dinf < 100 * tol
+                    and f_gap < 100 * tol):
+                # machine-precision plateau within 100x of the target:
+                # honest label; the crossover consumers accept it (the
+                # final simplex certifies exactness regardless)
+                status = "NEAR_OPTIMAL"
     runtime = datetime.timedelta(seconds=time.perf_counter() - t0)
     return IPMResult(x=x, y=y, zl=zl, zu=zu, obj_val=float(c @ x),
                      iter_count=it, status=status, runtime=runtime)

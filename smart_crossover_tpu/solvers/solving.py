@@ -377,11 +377,11 @@ def solve_mcf(mcf: MinCostFlow,
         return Output(x=res.x, y=res.y, obj_val=res.obj_val,
                       runtime=res.runtime, iter_count=res.iter_count,
                       rcost=res.rcost, basis=res.basis, status=res.status)
-    if method in ("first_order", "pdhg") or (
-            method == "barrier" and mcf.m > 4000):
-        # Large networks: scipy's fill-reducing orderings blow up on graph
-        # Laplacians, so the matrix-free PDHG is the first-order engine of
-        # choice (the paper's algorithms explicitly accept FOM warm starts).
+    if method in ("first_order", "pdhg"):
+        # matrix-free PDHG as the explicit first-order engine (the paper's
+        # algorithms accept FOM warm starts); barrier requests are NOT
+        # rerouted here — the IPM's tree-preconditioned PCG handles large
+        # graph Laplacians directly (solvers/laplacian.py)
         from jax.experimental import sparse as jsparse
 
         from smart_crossover_tpu.solvers.pdhg import pdhg_solve
@@ -412,7 +412,11 @@ def solve_mcf(mcf: MinCostFlow,
                               obj_val=res.obj_val, runtime=res.runtime,
                               bar_iter_count=res.iter_count,
                               status=res.status)
-        if settings.crossover != "on" or res.status != "OPTIMAL":
+        # NEAR_OPTIMAL interior points still cross over: the network-simplex
+        # finisher certifies exactness regardless (same policy as
+        # _solve_lp_barrier's simplex cleanup)
+        if settings.crossover != "on" or res.status not in (
+                "OPTIMAL", "NEAR_OPTIMAL"):
             return out_interior
         ns = network_simplex(mcf, max_iter=settings.networkSimplexMaxIters)
         return Output(x=ns.x, y=ns.y, x_bar=res.x, obj_val=ns.obj_val,
