@@ -74,8 +74,11 @@ def run_perturb_algorithm(lp: GeneralLP,
             perturb_manager.lp_sub, solver=solver, method="barrier",
             # a diverging (unbounded-face) perturbed solve should fail fast:
             # legitimate perturbed subproblems converge well within 60 iters
+            # certify='off': an INFEASIBLE/UNBOUNDED perturbed subproblem is
+            # an EXPECTED outcome handled by the gamma-shrink retry below —
+            # exact ray extraction there would be pure overhead
             settings=SolverSettings(presolve="on", crossover="on",
-                                    barrierMaxIters=60,
+                                    barrierMaxIters=60, certify="off",
                                     log_file=log_file),
             warm_start_solution=(
                 perturb_manager.get_subx(barrier_output.x),

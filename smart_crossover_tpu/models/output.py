@@ -65,6 +65,11 @@ class Output:
         basis: the final basis.
         status: solver status string ('OPTIMAL', 'INFEASIBLE', 'UNBOUNDED',
             'ITERATION_LIMIT', 'TIME_LIMIT', ...).
+        farkas_ray: dual ray certifying INFEASIBLE (verifiable with
+            solvers.rays.verify_farkas) — the in-house analog of the vendor
+            Farkas duals the reference inherits (ref caller.py:164-179).
+        unbounded_ray: primal recession direction certifying UNBOUNDED
+            (verifiable with solvers.rays.verify_ray).
     """
 
     x: Optional[np.ndarray] = None
@@ -77,6 +82,8 @@ class Output:
     rcost: Optional[np.ndarray] = None
     basis: Optional[Basis] = None
     status: Optional[str] = None
+    farkas_ray: Optional[np.ndarray] = None
+    unbounded_ray: Optional[np.ndarray] = None
 
     def __str__(self) -> str:
         rt = self.runtime.total_seconds() if self.runtime is not None else None

@@ -28,3 +28,9 @@ class SolverSettings:
     networkSimplexMaxIters: int = 10_000_000
     firstOrderMaxIters: int = 100_000
     sinkhornReg: float = 1e-2
+    # Exact INFEASIBLE/UNBOUNDED certification (solvers/rays.py) when the
+    # barrier/first-order engines fail: 'auto' certifies when the iterates
+    # point at infeasibility/unboundedness, 'on' on any failure status,
+    # 'off' never (used by callers that handle failure statuses themselves,
+    # e.g. the perturbation crossover's gamma-shrink retry loop).
+    certify: str = "auto"

@@ -172,6 +172,17 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
         out = Output(x=res.x, y=res.y, x_bar=res.x, obj_val=res.obj_val,
                      runtime=res.runtime, bar_iter_count=res.iter_count,
                      rcost=glp.get_dual_slack(res.y), status=res.status)
+        if res.status != "OPTIMAL":
+            # PDHG has no divergence detection at all (VERDICT.md item 4):
+            # a large stuck primal residual or runaway iterates are the
+            # 'suspect' triggers for exact certification
+            suspect = (res.primal_residual > 1e-4
+                       or np.abs(res.x).max(initial=0.0) > 1e8
+                       or np.abs(res.y).max(initial=0.0) > 1e8)
+            cert_out = _certify_failure(glp, res.runtime, res.iter_count,
+                                        settings, suspect)
+            if cert_out is not None:
+                out = cert_out
     if out is not None:
         if glp.obj_offset and out.obj_val is not None and not offset_applied:
             from dataclasses import replace as _replace
@@ -236,6 +247,15 @@ def _solve_lp_presolved(glp: GeneralLP, solver: str, method: str,
     out = solve_lp(red, solver=solver, method=method,
                    settings=_replace(settings, presolve="off"))
     if out.x is None:
+        if (out.status in ("INFEASIBLE", "UNBOUNDED")
+                and (out.farkas_ray is not None
+                     or out.unbounded_ray is not None)):
+            # the ray certifies the REDUCED problem; re-classify the
+            # original LP so the returned ray lives in its row/column space
+            cert_out = _certify_failure(glp, out.runtime,
+                                        out.bar_iter_count, settings, True)
+            if cert_out is not None:
+                return cert_out
         return Output(runtime=out.runtime, status=out.status,
                       iter_count=out.iter_count,
                       bar_iter_count=out.bar_iter_count)
@@ -258,6 +278,52 @@ def _solve_lp_presolved(glp: GeneralLP, solver: str, method: str,
                     basis=basis)
 
 
+# exact INFEASIBLE/UNBOUNDED certification is an elastic-LP simplex solve;
+# cap the instances it auto-runs on (beyond this the heuristic status stands)
+_CERTIFY_MAX_NNZ = 400_000
+_CERTIFY_MAX_DIM = 40_000
+
+
+def _certify_failure(glp: GeneralLP, runtime, bar_iter_count,
+                     settings: SolverSettings,
+                     suspect: bool) -> Optional[Output]:
+    """Upgrade a heuristic IPM/PDHG failure to an exactly certified
+    INFEASIBLE/UNBOUNDED Output carrying a *verifiable* ray (solvers/rays.py)
+    — replacing the round-1 iterate-magnitude guesswork (VERDICT.md item 4).
+
+    Returns None when certification is off/gated, the LP is actually
+    feasible and bounded (the caller's own failure status stands), or the
+    extraction hit a numerical inconsistency."""
+    if settings.certify == "off" or (settings.certify == "auto"
+                                     and not suspect):
+        return None
+    A_std = glp.get_standard_A()
+    nnz = A_std.nnz if sp_issparse(A_std) else int(np.prod(A_std.shape))
+    m, n = A_std.shape
+    if nnz > _CERTIFY_MAX_NNZ or m + n > _CERTIFY_MAX_DIM:
+        return None
+    from smart_crossover_tpu.solvers.rays import classify_lp
+
+    l_std, u_std = glp.get_standard_bounds()
+    try:
+        cert = classify_lp(A_std, glp.b, glp.get_standard_c(), l_std, u_std)
+    except RuntimeError:
+        logger.warning("exact feasibility classification failed; keeping "
+                       "the heuristic failure status")
+        return None
+    if cert.status == "INFEASIBLE":
+        return Output(runtime=runtime, status="INFEASIBLE",
+                      bar_iter_count=bar_iter_count,
+                      farkas_ray=cert.farkas_ray)
+    if cert.status == "UNBOUNDED":
+        # slice the standard-space recession direction back to the original
+        # columns (slack components encode the '<' row slack movement)
+        return Output(runtime=runtime, status="UNBOUNDED",
+                      bar_iter_count=bar_iter_count,
+                      unbounded_ray=cert.unbounded_ray[:glp.n])
+    return None
+
+
 def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
                       warm_start_solution=None) -> Output:
     x0 = y0 = None
@@ -274,6 +340,20 @@ def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
         if np.isfinite(pres) and pres < 1e-5:
             status = "NEAR_OPTIMAL"
     if status not in ("OPTIMAL", "NEAR_OPTIMAL"):
+        # diverging iterates (or an explicit INFEASIBLE/UNBOUNDED guess)
+        # are the 'suspect' trigger for exact certification; covers the
+        # free-variable-heavy unbounded LPs that exit as ITERATION_LIMIT
+        # (STATUS.md round-1 limitation #6)
+        xmag = (np.abs(res.x).max(initial=0.0)
+                if res.x is not None else np.inf)
+        ymag = (np.abs(res.y).max(initial=0.0)
+                if res.y is not None else np.inf)
+        suspect = (status in ("INFEASIBLE", "UNBOUNDED", "NUMERICAL_ERROR")
+                   or max(xmag, ymag) > 1e8)
+        cert_out = _certify_failure(glp, res.runtime, res.iter_count,
+                                    settings, suspect)
+        if cert_out is not None:
+            return cert_out
         return Output(runtime=res.runtime, status=res.status,
                       bar_iter_count=res.iter_count)
     x_bar = res.x
@@ -298,6 +378,14 @@ def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
     basis = _vstatus_to_basis(glp, sres.vstatus, sres.row_basic)
     runtime = res.runtime + sres.runtime
     if sres.status != "OPTIMAL":
+        # the simplex finisher's INFEASIBLE/UNBOUNDED is an exact
+        # determination; attach the verifiable ray for parity with the
+        # vendor Farkas duals
+        cert_out = _certify_failure(
+            glp, runtime, res.iter_count, settings,
+            suspect=sres.status in ("INFEASIBLE", "UNBOUNDED"))
+        if cert_out is not None:
+            return cert_out
         return Output(runtime=runtime, status=sres.status,
                       bar_iter_count=res.iter_count, iter_count=sres.iter_count)
     # the simplex cleanup certifies exact optimality regardless of whether
@@ -341,6 +429,13 @@ def _solve_lp_simplex(glp: GeneralLP, settings: SolverSettings,
                               pricing=_pricing(settings))
     basis = _vstatus_to_basis(glp, sres.vstatus, sres.row_basic)
     if sres.status != "OPTIMAL":
+        cert_out = _certify_failure(
+            glp, sres.runtime, None, settings,
+            suspect=sres.status in ("INFEASIBLE", "UNBOUNDED"))
+        if cert_out is not None:
+            from dataclasses import replace as _replace
+
+            return _replace(cert_out, iter_count=sres.iter_count)
         return Output(runtime=sres.runtime, status=sres.status,
                       iter_count=sres.iter_count)
     return Output(x=sres.x[:glp.n], y=sres.y,
