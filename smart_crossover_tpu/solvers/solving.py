@@ -126,7 +126,8 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
     if (settings.presolve == "on" and warm_start_basis is None
             and warm_start_solution is None
             and method in ("default", "simplex", "primal_simplex",
-                           "dual_simplex", "barrier")):
+                           "dual_simplex", "barrier", "first_order",
+                           "pdhg")):
         # real presolve, matching the reference's vendor Presolve knob
         # (reference caller.py:17-41 / filehandling.py:62-74); only takes
         # over when it actually removes something, and never when a warm
