@@ -137,3 +137,49 @@ def test_ipm_warm_start_reduces_iterations():
                          x0=np.full(n, np.nan), y0=np.full(m, np.nan))
     assert nan_warm.status == "OPTIMAL"
     assert nan_warm.obj_val == pytest.approx(cold.obj_val, rel=1e-8)
+
+
+def test_ipm_banded_conditioning():
+    # VERDICT.md item 8 / STATUS.md round-1 #6 regression: banded constraint
+    # matrices with 1e3-range coefficient spreads used to exit NEAR_OPTIMAL
+    # with ~1e-3 objective error; f64 iterative refinement on the normal
+    # equations must now deliver OPTIMAL at 1e-8
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(0)
+    m, n, bw = 200, 400, 12
+    A = np.zeros((m, n))
+    for i in range(m):
+        j0 = int(i * (n - bw) / (m - 1))
+        A[i, j0:j0 + bw] = (rng.standard_normal(bw)
+                            * np.logspace(0, 3, bw)[rng.permutation(bw)])
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    res = ipm_solve(A, b, c, np.zeros(n), np.ones(n), tol=1e-8)
+    assert res.status == "OPTIMAL"
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert abs(res.obj_val - ref.fun) / (1 + abs(ref.fun)) < 1e-8
+
+
+def test_ipm_staircase_conditioning():
+    # staircase blocks with 1e5 coefficient spread (the harsher variant of
+    # the same conditioning class)
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(1)
+    nblocks, bs, overlap, spread = 20, 20, 4, 1e5
+    m = nblocks * bs
+    n = nblocks * 2 * bs - (nblocks - 1) * overlap
+    A = np.zeros((m, n))
+    col = 0
+    for k in range(nblocks):
+        blk = rng.standard_normal((bs, 2 * bs)) \
+            * spread ** rng.uniform(-1, 1, (bs, 2 * bs))
+        A[k * bs:(k + 1) * bs, col:col + 2 * bs] = blk
+        col += 2 * bs - overlap
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = rng.standard_normal(n)
+    res = ipm_solve(A, b, c, np.zeros(n), np.ones(n), tol=1e-8)
+    assert res.status == "OPTIMAL"
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert abs(res.obj_val - ref.fun) / (1 + abs(ref.fun)) < 1e-7
