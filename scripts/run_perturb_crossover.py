@@ -18,7 +18,7 @@ import argparse
 from pathlib import Path
 
 from smart_crossover_tpu.analysis import compare, summarize, table
-from smart_crossover_tpu.data import ResultStore, read_mps
+from smart_crossover_tpu.data import ResultStore, load_instance
 from smart_crossover_tpu.lp_methods.algorithms import run_perturb_algorithm
 from smart_crossover_tpu.solvers.settings import SolverSettings
 from smart_crossover_tpu.solvers.solving import solve_lp
@@ -29,7 +29,9 @@ def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
          max_instances: int | None = None):
     store = ResultStore(results)
     paths = sorted(Path(data_dir).glob("*.mps")) \
-        + sorted(Path(data_dir).glob("*.mps.gz"))
+        + sorted(Path(data_dir).glob("*.mps.gz")) \
+        + sorted(Path(data_dir).glob("*.lp")) \
+        + sorted(Path(data_dir).glob("*.lp.gz"))
     if max_instances:
         paths = paths[:max_instances]
     print(f"{len(paths)} LP instances in {data_dir}")
@@ -38,7 +40,7 @@ def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
         name = p.stem
         lp = None
         if not store.is_solved(name, "ori"):
-            lp = read_mps(p)
+            lp = load_instance(p)
             out = solve_lp(lp, method="barrier",
                            settings=SolverSettings(barrierTol=barrier_tol,
                                                    crossover="on"))
@@ -48,7 +50,7 @@ def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
             print(f"  {name} ori: {out.status} obj={out.obj_val}")
         if not store.is_solved(name, "ptb"):
             if lp is None:
-                lp = read_mps(p)
+                lp = load_instance(p)
             out = run_perturb_algorithm(lp, barrierTol=barrier_tol,
                                         optimalityTol=optimality_tol)
             store.record(name, "ptb", status=out.status, runtime=out.runtime,

@@ -14,7 +14,8 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p_solve = sub.add_parser("solve", help="solve an instance file")
-    p_solve.add_argument("path", help=".mps/.mps.gz/.min/.ot/.mcf instance")
+    p_solve.add_argument("path",
+                         help=".mps/.mps.gz/.lp/.lp.gz/.min/.ot/.mcf instance")
     p_solve.add_argument("--method", default="default",
                          help="default|barrier|barrier_perturb|simplex|"
                               "primal_simplex|dual_simplex|network_simplex|"

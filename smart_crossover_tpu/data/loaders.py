@@ -17,7 +17,7 @@ def load_instance(path: str | Path):
 
     ``.ot`` / ``.mcf`` / ``.pkl``: pickled OptTransport or MinCostFlow (as
     written by ``save_instance``); ``.min``: DIMACS min-cost flow;
-    ``.mps``/``.mps.gz``: general LP.
+    ``.mps``/``.mps.gz`` and ``.lp``/``.lp.gz``: general LP.
     """
     path = Path(path)
     suffix = path.suffix.lower()
@@ -42,6 +42,10 @@ def load_instance(path: str | Path):
         from smart_crossover_tpu.data.mps import read_mps
 
         return read_mps(path)
+    if suffix == ".lp" or path.name.endswith(".lp.gz"):
+        from smart_crossover_tpu.data.lp_format import read_lp
+
+        return read_lp(path)
     raise ValueError(f"{path}: unknown instance extension {suffix!r}")
 
 

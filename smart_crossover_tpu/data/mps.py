@@ -4,11 +4,15 @@ Replaces the reference's dependence on Gurobi's .mps/.lp readers
 (reference filehandling.py:13-98, solver_caller read_model_from_file).
 Supports ROWS (N/E/L/G), COLUMNS, RHS, RANGES, BOUNDS
 (UP/LO/FX/FR/MI/PL/BV/UI/LI), OBJSENSE, and G-row negation so the result fits
-the GeneralLP '='/'<' sense contract.
+the GeneralLP '='/'<' sense contract.  Fixed-format quirks handled: ``$``
+comments (field-initial dollar, classic netlib), omitted RHS/RANGES/BOUNDS
+set names, values on value-less bound types, OBJSENSE value on its own
+(indented) continuation line.
 """
 from __future__ import annotations
 
 import gzip
+import re
 from pathlib import Path
 
 import numpy as np
@@ -44,11 +48,24 @@ def read_mps(path: str | Path) -> GeneralLP:
 
     _rowpos: dict[str, int] = {}
 
+    def _is_num(tok: str) -> bool:
+        try:
+            float(tok)
+            return True
+        except ValueError:
+            return False
+
     i = 0
     while i < len(lines):
         raw = lines[i]
         i += 1
-        if not raw.strip() or raw.lstrip().startswith("*"):
+        if not raw.strip() or raw.lstrip().startswith("*") \
+                or raw.lstrip().startswith("$"):
+            continue
+        # '$' starting a field begins a comment (fixed-format convention,
+        # common in netlib files)
+        raw = re.sub(r"\s\$.*$", "", raw)
+        if not raw.strip():
             continue
         if not raw[0].isspace():
             head = raw.split()
@@ -56,10 +73,10 @@ def read_mps(path: str | Path) -> GeneralLP:
             if section == "OBJSENSE" and len(head) > 1:
                 maximize = head[1].upper().startswith("MAX")
             elif section == "OBJSENSE":
-                # value on the next line
+                # value on the next (indented) line
                 while i < len(lines) and not lines[i].strip():
                     i += 1
-                if i < len(lines):
+                if i < len(lines) and lines[i][0].isspace():
                     maximize = lines[i].split()[0].upper().startswith("MAX")
                     i += 1
             continue
@@ -92,7 +109,9 @@ def read_mps(path: str | Path) -> GeneralLP:
                 elif rname in _rowpos:
                     cols[col].append((_rowpos[rname], val))
         elif section == "RHS":
-            for j in range(1, len(tok) - 1, 2):
+            # the RHS-set name may be omitted: pairs then start at tok[0]
+            start = 0 if len(tok) > 1 and _is_num(tok[1]) else 1
+            for j in range(start, len(tok) - 1, 2):
                 rname, val = tok[j], float(tok[j + 1])
                 if rname in _rowpos:
                     rhs[rname] = val
@@ -101,14 +120,33 @@ def read_mps(path: str | Path) -> GeneralLP:
                     # MPS convention (obj = c'x - rhs)
                     obj_offset = -val
         elif section == "RANGES":
-            for j in range(1, len(tok) - 1, 2):
+            start = 0 if len(tok) > 1 and _is_num(tok[1]) else 1
+            for j in range(start, len(tok) - 1, 2):
                 rname, val = tok[j], float(tok[j + 1])
                 if rname in _rowpos:
                     ranges[rname] = val
         elif section == "BOUNDS":
             btype = tok[0].upper()
-            col = tok[2]
-            val = float(tok[3]) if len(tok) > 3 else 0.0
+            rest = tok[1:]
+            # the bound-set name may be omitted; value-less types (FR/MI/
+            # PL/BV) may still carry an ignored numeric field
+            if btype in ("UP", "LO", "FX", "UI", "LI"):
+                if len(rest) >= 3:
+                    col, val = rest[1], float(rest[2])
+                elif len(rest) == 2:
+                    col, val = rest[0], float(rest[1])
+                else:
+                    raise ValueError(f"{path}: bad BOUNDS line {raw!r}")
+            else:
+                if len(rest) >= 3:
+                    col = rest[1]
+                elif len(rest) == 2:
+                    col = rest[0] if _is_num(rest[1]) else rest[1]
+                elif len(rest) == 1:
+                    col = rest[0]
+                else:
+                    raise ValueError(f"{path}: bad BOUNDS line {raw!r}")
+                val = 0.0
             if col not in cols:
                 cols[col] = []
                 col_order.append(col)
@@ -190,4 +228,4 @@ def read_mps(path: str | Path) -> GeneralLP:
     b = np.array(rows_b)
     return GeneralLP(A=A, b=b, c=c, l=l, u=u,
                      sense=np.array(senses), name=path.stem,
-                     obj_offset=obj_offset)
+                     obj_offset=obj_offset, col_names=list(col_order))

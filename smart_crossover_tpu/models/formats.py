@@ -49,6 +49,7 @@ class GeneralLP:
     sense: np.ndarray
     name: str = "lp_instance"
     obj_offset: float = 0.0   # constant term (e.g. an MPS objective RHS)
+    col_names: list | None = None   # optional variable names (MPS/LP ingest)
 
     def __post_init__(self) -> None:
         self.b = _as_dense_1d(self.b)
@@ -130,7 +131,8 @@ class GeneralLP:
         A = self.A.copy()
         return GeneralLP(A, self.b.copy(), self.c.copy(), self.l.copy(),
                          self.u.copy(), self.sense.copy(), self.name,
-                         self.obj_offset)
+                         self.obj_offset,
+                         list(self.col_names) if self.col_names else None)
 
 
 @dataclass
