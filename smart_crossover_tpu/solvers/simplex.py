@@ -395,11 +395,15 @@ def dual_simplex(A, b, c, l, u,
                  feas_tol: float = 1e-9) -> SimplexResult:
     """Bounded-variable dual simplex.
 
-    Starts from a DUAL-feasible status vector (reduced costs >= 0 at lower
-    bounds, <= 0 at upper bounds) and restores primal feasibility by driving
+    Starts from a status vector and restores primal feasibility by driving
     out bound-violating basics — the classic tool for re-solving after RHS
-    or bound changes from a previously optimal basis.  Falls back to the
-    primal engine (phase-1) when the start is not dual feasible.
+    or bound changes from a previously optimal basis.  A start that is not
+    dual feasible is repaired in place (bound flips for boxed columns, then
+    artificial opposite bounds at big-M distance for the rest — the
+    bound-shift dual phase-1), so the dual engine runs even from arbitrary
+    warm starts; a warm-started primal finisher only kicks in if an
+    artificial bound is still active at the end (reference capability:
+    vendor dual simplex warm starts, solver_caller/caller.py:199-201).
     """
     t0 = time.perf_counter()
     A = sp.csc_matrix(A).astype(np.float64)
@@ -433,19 +437,58 @@ def dual_simplex(A, b, c, l, u,
     x[basic] = 0.0
     x[basic] = lu.solve(b - Aext @ x)
 
-    # dual feasibility check on the warm start
+    # dual feasibility restoration on the warm start.  Wrong-sign reduced
+    # costs are repaired in place instead of bailing to the primal engine:
+    # boxed nonbasics flip to their other bound (rc unchanged, instantly
+    # dual-feasible there), and offenders without an opposite finite bound
+    # get a temporary artificial bound at big-M distance (the classic
+    # bound-shift dual phase-1).  If any artificial bound is still active
+    # at the end, the run falls back to a warm-started primal solve.
     y = lu.solve(cext[basic], trans="T")
     rc = cext - Aext.T @ y
     rc[basic] = 0.0
-    dual_ok = np.all(
-        np.where(fixed_cols, True,
-                 np.where(st == ST_LOWER, rc >= -1e-7,
-                          np.where(st == ST_UPPER, rc <= 1e-7,
-                                   np.where(st == ST_FREE,
-                                            np.abs(rc) <= 1e-7, True)))))
-    if not dual_ok:
-        return primal_simplex(A, b, c0, l, u, vstatus=vstatus,
-                              max_iter=max_iter, tol=tol, feas_tol=feas_tol)
+    art_l = np.zeros(N, dtype=bool)   # artificially-added lower bounds
+    art_u = np.zeros(N, dtype=bool)   # artificially-added upper bounds
+    bad_l = (st == ST_LOWER) & ~fixed_cols & (rc < -1e-7)
+    bad_u = (st == ST_UPPER) & ~fixed_cols & (rc > 1e-7)
+    bad_f = (st == ST_FREE) & (np.abs(rc) > 1e-7)
+    if np.any(bad_l | bad_u | bad_f):
+        # 1) bound flips for boxed columns
+        flip_lu = bad_l & np.isfinite(next_u)
+        flip_ul = bad_u & np.isfinite(next_l)
+        st[flip_lu] = ST_UPPER
+        x[flip_lu] = next_u[flip_lu]
+        st[flip_ul] = ST_LOWER
+        x[flip_ul] = next_l[flip_ul]
+        # 2) artificial opposite bounds for the rest
+        finite_x = x[np.isfinite(x)]
+        big = 1e7 * max(1.0, np.abs(b).max(initial=0.0),
+                        np.abs(finite_x).max(initial=0.0))
+        rest_l = bad_l & ~np.isfinite(next_u)
+        rest_u = bad_u & ~np.isfinite(next_l)
+        if np.any(rest_l):
+            next_u[rest_l] = next_l[rest_l] + big
+            st[rest_l] = ST_UPPER
+            x[rest_l] = next_u[rest_l]
+            art_u |= rest_l
+        if np.any(rest_u):
+            next_l[rest_u] = next_u[rest_u] - big
+            st[rest_u] = ST_LOWER
+            x[rest_u] = next_l[rest_u]
+            art_l |= rest_u
+        if np.any(bad_f):
+            next_l[bad_f] = -big
+            next_u[bad_f] = big
+            go_lower = bad_f & (rc > 0)
+            st[go_lower] = ST_LOWER
+            x[go_lower] = -big
+            go_upper = bad_f & (rc < 0)
+            st[go_upper] = ST_UPPER
+            x[go_upper] = big
+            art_l |= bad_f
+            art_u |= bad_f
+        x_nb = np.where(st != ST_BASIC, x, 0.0)
+        x[basic] = lu.solve(b - Aext @ x_nb)
 
     it = 0
     result_status = "OPTIMAL"
@@ -488,28 +531,51 @@ def dual_simplex(A, b, c, l, u,
         if not np.any(cand):
             result_status = "INFEASIBLE"
             break
-        # dual ratio test: min |rc_j / alpha_j| over candidates
-        ratios = np.full(N, np.inf)
-        ratios[cand] = np.abs(rc[cand]) / np.abs(alpha[cand])
-        e = int(np.argmin(ratios))
+        # bound-flipping dual ratio test (BFRT).  Candidates are visited in
+        # increasing |rc_j/alpha_j| (the dual step at which rc_j changes
+        # sign).  A boxed candidate whose flip capacity |alpha_j|*range_j is
+        # smaller than the remaining row infeasibility flips to its other
+        # bound — dual-legal precisely because the eventual dual step
+        # exceeds its ratio, flipping its rc sign too.  The first candidate
+        # that covers the remaining infeasibility enters the basis.
+        # (Flipping only the min-ratio candidate WITHOUT the dual update,
+        # as a naive "entering hits its own bound" rule does, leaves it
+        # dual-infeasible at the new bound and two-cycles.)
+        cand_idx = np.flatnonzero(cand)
+        order = cand_idx[np.argsort(np.abs(rc[cand_idx])
+                                    / np.abs(alpha[cand_idx]))]
+        target = lb[r] if to_lower else ub[r]
+        delta = abs(target - xb[r])
+        e = -1
+        n_flip = 0
+        for j in order:
+            cap = abs(alpha[j]) * (next_u[j] - next_l[j])
+            if np.isfinite(cap) and cap < delta - 1e-12:
+                if st[j] == ST_LOWER:
+                    st[j] = ST_UPPER
+                    x[j] = next_u[j]
+                else:
+                    st[j] = ST_LOWER
+                    x[j] = next_l[j]
+                delta -= cap
+                n_flip += 1
+            else:
+                e = int(j)
+                break
+        if e < 0:
+            # every candidate's capacity exhausted and infeasibility
+            # remains: dual unbounded along rho -> primal infeasible
+            result_status = "INFEASIBLE"
+            break
+        if n_flip:
+            x_nb = np.where(st != ST_BASIC, x, 0.0)
+            x[basic] = lu.solve(b - Aext @ x_nb)
+            xb = x[basic]
         d_e = 1.0 if (cand_l[e] or (cand_f[e] and -alpha[e] * need > 0)) \
             else -1.0
-        # step length from the leaving variable's violation
-        target = lb[r] if to_lower else ub[r]
+        # step length from the (post-flip) leaving variable's violation
         t_step = (target - xb[r]) / (-alpha[e] * d_e)
         t_step = max(t_step, 0.0)
-
-        # dual bound flip: the entering variable may hit its own opposite
-        # bound before the leaving basic reaches its bound — then only the
-        # entering variable flips (no basis change) and we re-price
-        e_range = next_u[e] - next_l[e]
-        if np.isfinite(e_range) and t_step > e_range + 1e-12:
-            dxb = lu.solve(
-                -np.asarray(Aext[:, e].todense()).ravel() * d_e)
-            x[e] += d_e * e_range
-            x[basic] = xb + e_range * dxb
-            st[e] = ST_UPPER if d_e > 0 else ST_LOWER
-            continue
 
         dxb = lu.solve(-np.asarray(Aext[:, e].todense()).ravel() * d_e)
         x[e] += d_e * t_step
@@ -539,6 +605,23 @@ def dual_simplex(A, b, c, l, u,
         y = lu.solve(cext[basic], trans="T")
         rc = cext - Aext.T @ y
         rc[basic] = 0.0
+
+    if np.any(art_l) or np.any(art_u):
+        # an artificial bound still "active" (a column resting on it) means
+        # the boxed surrogate's optimum is not the true optimum; likewise an
+        # INFEASIBLE verdict only certifies the RESTRICTED problem.  Both
+        # cases finish with a warm-started primal solve from the current
+        # basis (usually very close to optimal).
+        art_active = ((art_u & (st == ST_UPPER))
+                      | (art_l & (st == ST_LOWER)))
+        if np.any(art_active) or result_status != "OPTIMAL":
+            res = primal_simplex(A, b, c0, l, u, vstatus=st[:n],
+                                 max_iter=max_iter, tol=tol,
+                                 feas_tol=feas_tol)
+            res.iter_count += it
+            res.runtime = datetime.timedelta(
+                seconds=time.perf_counter() - t0)
+            return res
 
     y = lu.solve(cext[basic], trans="T")
     rc_full = cext - Aext.T @ y
