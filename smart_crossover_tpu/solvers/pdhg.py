@@ -53,11 +53,11 @@ def estimate_opnorm(A, iters: int = 50, seed: int = 0):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "check_every",
-                                   "restart_period"))
+                                   "restart_period", "chunk_runner"))
 def _pdhg_core(A, b, c, l, u, is_eq, opnorm,
                x0, y0,
                max_iters: int, check_every: int, restart_period: int,
-               tol: float):
+               tol: float, chunk_runner=None):
     """Core loop with PDLP-style adaptive restarts + adaptive primal weight.
 
     Every ``check_every`` iterations the restart candidate (the better of
@@ -143,10 +143,18 @@ def _pdhg_core(A, b, c, l, u, is_eq, opnorm,
     def outer_body(state):
         (x, y, Ax, xs, ys, wsum, cnt, it, x_lr, y_lr, score_lr, score_prev,
          best_x, best_y, best_score, omega, eta, done) = state
-        # one evaluation chunk; averages continue across chunks until restart
-        (x, y, Ax, xs, ys, wsum, eta, _, _), _ = jax.lax.scan(
-            one_iter, (x, y, Ax, xs, ys, wsum, eta, omega, it),
-            None, length=check_every)
+        # one evaluation chunk; averages continue across chunks until
+        # restart.  chunk_runner is the VMEM-resident Pallas version of the
+        # same scan (ops/pdhg_pallas.py): A is read from HBM once per chunk
+        # instead of twice per iteration.
+        if chunk_runner is not None:
+            x, y, Ax, xs, ys, wsum, eta = chunk_runner(
+                A, b, c, l, u, is_eq, x, y, Ax, xs, ys,
+                wsum, eta, omega, it, opnorm)
+        else:
+            (x, y, Ax, xs, ys, wsum, eta, _, _), _ = jax.lax.scan(
+                one_iter, (x, y, Ax, xs, ys, wsum, eta, omega, it),
+                None, length=check_every)
         cnt = cnt + check_every
         safe_w = jnp.where(wsum > 0, wsum, 1.0)
         x_avg = jnp.where(wsum > 0, xs / safe_w, x)
@@ -360,12 +368,17 @@ def pdhg_solve(A, b, c, l, u, sense=None,
                max_iters: int = 100_000,
                restart_period: int = 200,
                x0=None, y0=None, rescale: bool = True,
-               polish: bool = True) -> PDHGResult:
+               polish: bool = True,
+               use_pallas: bool | None = None) -> PDHGResult:
     """Solve an LP with restarted PDHG (Ruiz-equilibrated by default).
 
     Args:
         A: (m, n) dense array (jnp/np) or BCOO.
         sense: length-m array of '='/'<' (None = all equality).
+        use_pallas: run the iteration chunks as the VMEM-resident Pallas
+            kernel (ops/pdhg_pallas.py).  Default: on TPU when dense A
+            fits the kernel's VMEM budget; forced True uses interpret
+            mode off-TPU (slow — for testing).
     """
     t0 = time.perf_counter()
     from jax.experimental import sparse as jsparse
@@ -415,10 +428,35 @@ def pdhg_solve(A, b, c, l, u, sense=None,
     else:
         y0 = jnp.asarray(y0, dtype=dtype)
 
-    x, y, iters, done = _pdhg_core(
-        A, b, c, l, u, is_eq, opnorm, x0, y0,
-        max_iters=max_iters, check_every=min(64, restart_period),
-        restart_period=restart_period, tol=tol)
+    check_every = min(64, restart_period)
+    if use_pallas is None:
+        from smart_crossover_tpu.config import on_tpu
+        from smart_crossover_tpu.ops.pdhg_pallas import pdhg_pallas_ok
+
+        use_pallas = (on_tpu() and not isinstance(A, jsparse.BCOO)
+                      and pdhg_pallas_ok(-(-m // 8) * 8, -(-n // 128) * 128,
+                                         dtype))
+    if use_pallas and not isinstance(A, jsparse.BCOO):
+        from smart_crossover_tpu.config import interpret_pallas
+        from smart_crossover_tpu.ops.pdhg_pallas import (
+            get_pdhg_chunk_fn, pad_lp_for_pallas)
+
+        (Ap, bp, cp, lp, up, eqp, x0p, y0p, _, _) = pad_lp_for_pallas(
+            A, b, c, l, u, is_eq, x0, y0)
+        runner = get_pdhg_chunk_fn(Ap.shape[0], Ap.shape[1],
+                                   str(jnp.dtype(dtype)), check_every,
+                                   interpret_pallas())
+        x, y, iters, done = _pdhg_core(
+            Ap, bp, cp, lp, up, eqp, opnorm, x0p, y0p,
+            max_iters=max_iters, check_every=check_every,
+            restart_period=restart_period, tol=tol, chunk_runner=runner)
+        x = x[:n]
+        y = y[:m]
+    else:
+        x, y, iters, done = _pdhg_core(
+            A, b, c, l, u, is_eq, opnorm, x0, y0,
+            max_iters=max_iters, check_every=check_every,
+            restart_period=restart_period, tol=tol)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     # residuals below are measured in the (well-conditioned) scaled space;
