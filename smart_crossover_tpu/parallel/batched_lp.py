@@ -23,12 +23,17 @@ from smart_crossover_tpu.solvers.solving import _crossover_statuses
 
 
 def batched_lp_crossover(A, b, c, l, u, tol: float = 1e-8,
-                         max_ipm_iters: int = 60):
+                         max_ipm_iters: int = 60,
+                         warm_engine: str = "ipm",
+                         pdhg_iters: int = 4000):
     """Solve a batch of dense equality-form LPs to exact optimal vertices.
 
     Args:
         A: (B, m, n) dense equality constraints; b: (B, m);
         c, l, u: (B, n) (finite/infinite bounds allowed).
+        warm_engine: 'ipm' (vmapped Mehrotra, O(m^3)/iter/instance) or
+            'pdhg' (batched first-order, two matvecs/iter — the cheaper
+            engine for wide fleets; VMEM-resident Pallas kernel on TPU).
 
     Returns:
         dict with x (B, n) vertex solutions, obj (B,), pivots (B,),
@@ -41,9 +46,19 @@ def batched_lp_crossover(A, b, c, l, u, tol: float = 1e-8,
     l = np.asarray(l, dtype=np.float64)
     u = np.asarray(u, dtype=np.float64)
 
-    dev = ipm_dense_batched(A, b, c, l, u, tol=tol, max_iters=max_ipm_iters)
-    x_bar = np.asarray(dev["x"], dtype=np.float64)
-    converged = np.asarray(dev["converged"])
+    if warm_engine == "pdhg":
+        from smart_crossover_tpu.solvers.pdhg_batched import (
+            pdhg_dense_batched)
+
+        dev = pdhg_dense_batched(A, b, c, l, u, iters=pdhg_iters)
+        x_bar = np.asarray(dev["x_avg"], dtype=np.float64)
+        # a first-order point is always a usable crossover seed
+        converged = np.ones(B, dtype=bool)
+    else:
+        dev = ipm_dense_batched(A, b, c, l, u, tol=tol,
+                                max_iters=max_ipm_iters)
+        x_bar = np.asarray(dev["x"], dtype=np.float64)
+        converged = np.asarray(dev["converged"])
 
     x_out = np.empty((B, n))
     obj = np.empty(B)
