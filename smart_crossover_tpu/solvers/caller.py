@@ -44,9 +44,16 @@ class SolverCaller:
 
     # --- model ingest -------------------------------------------------------
     def read_model_from_file(self, path: str) -> None:
-        from smart_crossover_tpu.data.mps import read_mps
+        """.mps/.mps.gz/.lp/.lp.gz ingest (reference caller.py:57-64 reads
+        both formats through the vendor readers)."""
+        from smart_crossover_tpu.data.loaders import load_instance
 
-        self.model = read_mps(path)
+        model = load_instance(path)
+        if isinstance(model, OptTransport):
+            model = model.to_MCF()
+        elif isinstance(model, StandardLP):
+            model = model.to_general()
+        self.model = model
 
     def read_mcf(self, mcf: MinCostFlow) -> None:
         self.model = mcf

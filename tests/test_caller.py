@@ -93,3 +93,18 @@ def test_caller_barrier_no_crossover(rng):
     assert caller.return_basis() is None       # no crossover -> no basis
     x = caller.return_x()
     assert np.all(x > 0) and np.all(x < 1)     # interior point
+
+
+def test_caller_reads_lp_file(tmp_path):
+    """read_model_from_file handles .lp (reference caller.py:57-64)."""
+    from smart_crossover_tpu.solvers.caller import generate_solver_caller
+
+    p = tmp_path / "m.lp"
+    p.write_text("Minimize\n obj: 2 x + 3 y\nSubject To\n"
+                 " c1: x + y >= 4\nBounds\n y <= 10\nEnd\n")
+    caller = generate_solver_caller("GRB")
+    caller.read_model_from_file(str(p))
+    caller.run_simplex()
+    out = caller.return_output()
+    assert out.status == "OPTIMAL"
+    assert abs(out.obj_val - 8.0) < 1e-8
