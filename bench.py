@@ -189,18 +189,22 @@ def _run_bench():
     reg, iters = 0.05, 200
     s, d, M = make_batch(B, S, D)
 
-    # compile + warmup
+    # compile + warmup.  The warmup must FETCH to host, not just
+    # block_until_ready: through the relay, block can return early on the
+    # first re-dispatch of a cached executable (measured: block 0.2 ms
+    # while the real compute took seconds, paid at the next fetch), which
+    # would make a min-of-reps silently bogus.
     out = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
-    jax.block_until_ready(out)
-    # timed runs; min over reps is robust to the tunneled-device dispatch
-    # noise of this environment
+    float(np.asarray(out[2]).sum())
+    # timed runs; MEDIAN over reps rejects both relay dispatch noise
+    # (highs) and any early-returning block (lows)
     times = []
     for r in range(5):
         t0 = time.perf_counter()
         out = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = float(np.median(times))
     X, pit, obj = out
     inst_per_sec = B / dt
 

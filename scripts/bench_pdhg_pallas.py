@@ -92,13 +92,15 @@ def main(m=512, n=2048, chunk=64, reps=30):
 
     def timeit(f):
         out = f(x, y, Ax, xs, ys, wsum, eta)
-        jax.block_until_ready(out)
-        best = np.inf
+        # fetch-forced warmup (relay: block can return early on the first
+        # re-dispatch of a cached executable); median, never min
+        float(np.asarray(out[0]).sum())
+        ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             jax.block_until_ready(f(x, y, Ax, xs, ys, wsum, eta))
-            best = min(best, time.perf_counter() - t0)
-        return best, out
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), out
 
     t_xla, o_xla = timeit(xla_run)
     t_pls, o_pls = timeit(pls_run)
