@@ -199,7 +199,7 @@ def _run_bench():
     # timed runs; MEDIAN over reps rejects both relay dispatch noise
     # (highs) and any early-returning block (lows)
     times = []
-    for r in range(5):
+    for r in range(9):
         t0 = time.perf_counter()
         out = batched_tnet(s, d, M, reg=reg, sinkhorn_iters=iters)
         jax.block_until_ready(out)

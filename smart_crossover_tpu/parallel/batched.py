@@ -47,10 +47,45 @@ def tnet_single(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200,
     return X, push_iters, obj
 
 
-@partial(jax.jit, static_argnames=("reg", "sinkhorn_iters", "tree_weights"))
+@partial(jax.jit, static_argnames=("reg", "sinkhorn_iters", "tree_weights",
+                                   "use_pallas"))
 def batched_tnet(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200,
-                 tree_weights: str = "flow"):
-    """vmapped TNET over an instance batch: s (B,S), d (B,D), M (B,S,D)."""
+                 tree_weights: str = "flow",
+                 use_pallas: bool | None = None):
+    """vmapped TNET over an instance batch: s (B,S), d (B,D), M (B,S,D).
+
+    On TPU at eligible shapes the Sinkhorn stage runs as the fused Pallas
+    kernel (cost block VMEM-resident for all iterations): measured 2.4x
+    the XLA loop at 64x256x256 under the corrected timing protocol, and
+    Sinkhorn dominates this pipeline.  Per-instance eps = reg*max(M_i) is
+    folded into the cost (the plan is invariant under (M/eps, eps=1)), so
+    one static-reg kernel serves the whole batch.
+    """
+    if use_pallas is None:
+        from smart_crossover_tpu.config import on_tpu
+        from smart_crossover_tpu.ops.sinkhorn_pallas import pallas_shapes_ok
+
+        use_pallas = (tree_weights == "flow" and on_tpu()
+                      and pallas_shapes_ok(M.shape[1], M.shape[2], M.dtype))
+    if use_pallas and tree_weights == "flow":
+        from smart_crossover_tpu.ops.ranking import ot_flow_indicators
+        from smart_crossover_tpu.ops.sinkhorn_pallas import (
+            sinkhorn_plan_pallas)
+        from smart_crossover_tpu.network_methods.tree_bi import (
+            identify_tree_flows)
+        from smart_crossover_tpu.solvers.sinkhorn import round_to_feasible
+
+        eps = reg * jnp.max(M, axis=(1, 2))
+        Mn = M / eps[:, None, None]
+        X0 = sinkhorn_plan_pallas(s, d, Mn, 1.0, num_iters=sinkhorn_iters)
+
+        def rest(X0_, s_, d_, M_):
+            Xs = round_to_feasible(X0_, s_, d_)
+            W = ot_flow_indicators(Xs, s_, d_)
+            X, push_iters = identify_tree_flows(W, s_, d_)
+            return X, push_iters, jnp.sum(X * M_)
+
+        return jax.vmap(rest)(X0, s, d, M)
     return jax.vmap(lambda a, b_, c_: tnet_single(a, b_, c_, reg,
                                                   sinkhorn_iters,
                                                   tree_weights))(s, d, M)
