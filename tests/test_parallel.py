@@ -231,3 +231,25 @@ def test_sharded_tnet_width_equivalence(rng):
     base = results[1][0]
     for w in (2, 4):
         assert abs(results[w][0] - base) < 1e-6 * (1 + abs(base))
+
+
+def test_batched_tnet_pallas_sinkhorn_path_matches_xla(rng):
+    """The Pallas-Sinkhorn TNET route (default on TPU) must produce the
+    same vertices as the XLA route: per-instance eps is folded into the
+    cost (plan invariant under (M/eps, eps=1))."""
+    import numpy as np
+
+    from smart_crossover_tpu.parallel.batched import batched_tnet
+
+    B, S, D = 3, 16, 128
+    s = rng.uniform(0.5, 2, (B, S))
+    d = rng.uniform(0.5, 2, (B, D))
+    d *= (s.sum(1) / d.sum(1))[:, None]
+    M = rng.uniform(0, 5, (B, S, D))
+    o_xla = batched_tnet(s, d, M, use_pallas=False)
+    o_pls = batched_tnet(s, d, M, use_pallas=True)   # interpret on CPU
+    np.testing.assert_allclose(np.asarray(o_pls[2]), np.asarray(o_xla[2]),
+                               rtol=1e-9)
+    X = np.asarray(o_pls[0])
+    assert np.abs(X.sum(2) - s).max() < 1e-8
+    assert np.abs(X.sum(1) - d).max() < 1e-8
