@@ -94,9 +94,15 @@ def _lift_tables(parent, K):
     return tabs
 
 
-def _depth(parent, K):
+def _depth(parent, K, tabs=None):
     V = parent.shape[0]
     dep = jnp.where(parent == jnp.arange(V), 0, 1).astype(jnp.int32)
+    if tabs is not None:
+        # reuse the lifting tables: the doubling recursion's round-k
+        # pointer IS tabs[k] (the 2^k-th ancestor), so no ptr rebuild
+        for tab in tabs:
+            dep = dep + dep[tab]
+        return dep
     ptr = parent
     for _ in range(K):
         dep = dep + dep[ptr]
@@ -104,7 +110,7 @@ def _depth(parent, K):
     return dep
 
 
-def _potentials(parent, M, K):
+def _potentials(parent, M, K, tabs=None):
     """pot[v]: u_i for row nodes, v_j for column nodes; pot[root] = 0.
 
     Bipartite tree duals satisfy pot[v] = M_e(v) - pot[parent(v)] on every
@@ -122,11 +128,17 @@ def _potentials(parent, M, K):
     w = jnp.where(par == vids, 0.0, w)           # root has no edge
     acc = w
     sgn = jnp.where(par == vids, 0.0, -1.0).astype(M.dtype)
+    # NOTE: the (acc, sgn) composition needs the CHAIN ptr -> ptr[ptr]
+    # interleaved with the accumulation, so lifting tables can't replace
+    # the rebuild here — but we can fuse acc and sgn into one array so
+    # each round is a single gather instead of two.
+    both = jnp.stack([acc, sgn])                 # (2, V)
     ptr = parent
     for _ in range(K):
-        acc = acc + sgn * acc[ptr]
-        sgn = sgn * sgn[ptr]
+        g = both[:, ptr]
+        both = jnp.stack([both[0] + both[1] * g[0], both[1] * g[1]])
         ptr = ptr[ptr]
+    acc = both[0]
     return acc[:S], acc[S:]
 
 
@@ -139,6 +151,19 @@ def _lift_from(endpoint, k, tabs):
         take = (kk >> b) & 1
         cur = jnp.where(take == 1, tab[cur], cur)
     return cur
+
+
+def _lift_from2(end_a, end_b, k_a, k_b, tabs):
+    """Two `_lift_from` chains fused into one (2, V) walk — halves the
+    sequential op count of the per-pivot ancestor tests."""
+    V = tabs[0].shape[0]
+    cur = jnp.stack([jnp.full((V,), end_a, jnp.int32),
+                     jnp.full((V,), end_b, jnp.int32)])
+    kk = jnp.maximum(jnp.stack([k_a, k_b]), 0)
+    for b, tab in enumerate(tabs):
+        take = (kk >> b) & 1
+        cur = jnp.where(take == 1, tab[cur], cur)
+    return cur[0], cur[1]
 
 
 @partial(jax.jit, static_argnames=("max_pivots",))
@@ -174,7 +199,7 @@ def transport_simplex_parent(X, Bm, M, s, d,
     def body(state):
         X, Bm, parent, it, _ = state
         tabs = _lift_tables(parent, K)
-        dep = _depth(parent, K)
+        dep = _depth(parent, K, tabs)
         u, v = _potentials(parent, M, K)
 
         # pricing (the one dense O(S*D) op)
@@ -191,8 +216,7 @@ def transport_simplex_parent(X, Bm, M, s, d,
         # ancestor indicators for both endpoints, all nodes at once
         dx = dep[x_end]
         dy = dep[y_end]
-        lift_x = _lift_from(x_end, dx - dep, tabs)
-        lift_y = _lift_from(y_end, dy - dep, tabs)
+        lift_x, lift_y = _lift_from2(x_end, y_end, dx - dep, dy - dep, tabs)
         anc_x = (lift_x == vids) & (dep <= dx)
         anc_y = (lift_y == vids) & (dep <= dy)
         root = parent == vids
