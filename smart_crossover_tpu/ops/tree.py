@@ -34,27 +34,36 @@ def bipartite_tree_solve(mask, s, d, max_rounds: int | None = None):
     if max_rounds is None:
         max_rounds = S + D + 2
     dtype = jnp.result_type(s, d, jnp.float32)
+    # TPU: vector scatters / segment_sum serialize — express each leaf
+    # round's scatter as an elementwise one-hot product and the residual
+    # reduction as a one-hot matmul (see ops/transport_simplex_parent.py)
+    hi = jax.lax.Precision.HIGHEST
 
     def body(state):
         active, rs, rd, X, it = state
 
-        # Supplier leaves: rows with exactly one active edge.
+        # Supplier leaves: rows with exactly one active edge.  The leaf's
+        # single active column one-hot is just its active row.
         deg_s = jnp.sum(active, axis=1)
         leaf_s = deg_s == 1
-        j_star = jnp.argmax(active, axis=1)  # the single active column
+        oh_j = (active & leaf_s[:, None]).astype(dtype)   # (S, D)
         flow_s = jnp.where(leaf_s, rs, 0.0)
-        X = X.at[jnp.arange(S), j_star].add(flow_s)
-        rd = rd - jax.ops.segment_sum(flow_s, j_star, num_segments=D)
+        X = X + flow_s[:, None] * oh_j
+        rd = rd - jax.lax.dot_general(flow_s, oh_j, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=dtype,
+                                      precision=hi)
         rs = rs - flow_s
         active = active & ~leaf_s[:, None]
 
         # Demander leaves.
         deg_d = jnp.sum(active, axis=0)
         leaf_d = deg_d == 1
-        i_star = jnp.argmax(active, axis=0)
+        oh_i = (active & leaf_d[None, :]).astype(dtype)   # (S, D)
         flow_d = jnp.where(leaf_d, rd, 0.0)
-        X = X.at[i_star, jnp.arange(D)].add(flow_d)
-        rs = rs - jax.ops.segment_sum(flow_d, i_star, num_segments=S)
+        X = X + flow_d[None, :] * oh_i
+        rs = rs - jax.lax.dot_general(oh_i, flow_d, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=dtype,
+                                      precision=hi)
         rd = rd - flow_d
         active = active & ~leaf_d[None, :]
 
