@@ -92,18 +92,51 @@ def batched_tnet(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200,
 
 
 def batched_tnet_exact(s, d, M, reg: float = 0.005,
-                       sinkhorn_iters: int = 1000, mesh=None):
+                       sinkhorn_iters: int = 1000, mesh=None,
+                       engine: str = "auto"):
     """Batched crossover to EXACT optimal vertices.
 
-    Device does the heavy approximate work (the batched TNET pipeline);
-    the host's native network simplex then cleans each instance up from the
-    identified tree basis — usually a handful of pivots.  Returns
-    (X, obj, cleanup_pivots, optimal_mask) as numpy arrays.
+    ``engine='host'``: device does the heavy approximate work (the batched
+    TNET pipeline); the host's native network simplex then cleans each
+    instance up from the identified tree basis — usually a handful of
+    pivots.  ``engine='device'``: the whole solve, pivots included, stays
+    on device (one-hot-matmul transportation simplex) — measured faster
+    than the host cleanup on the v5e up to ~512x512 (BENCH.md); any
+    instance the device pass leaves non-optimal (pivot cap) falls back to
+    the host cleanup.  ``engine='auto'`` picks 'device' on TPU for
+    S, D <= 512 without a mesh, else 'host'.
+
+    Returns (X, obj, cleanup_pivots, optimal_mask) as numpy arrays.
     """
     import numpy as np
 
     from smart_crossover_tpu.models import Basis, OptTransport
     from smart_crossover_tpu.solvers.network_simplex import network_simplex
+
+    if engine == "auto":
+        from smart_crossover_tpu.config import on_tpu
+
+        Bq, Sq, Dq = jnp.shape(M)
+        engine = ("device" if (mesh is None and on_tpu()
+                               and max(Sq, Dq) <= 512) else "host")
+    if engine == "device" and mesh is None:
+        Xd, obj_d, push, piv, opt = batched_tnet_exact_device(
+            s, d, M, reg=reg, sinkhorn_iters=sinkhorn_iters)
+        Xn = np.asarray(Xd, dtype=np.float64)
+        obj_n = np.asarray(obj_d, dtype=np.float64)
+        piv_n = np.asarray(piv, dtype=np.int64)
+        opt_n = np.asarray(opt, dtype=bool)
+        if opt_n.all():
+            return Xn, obj_n, piv_n, opt_n
+        # host-clean the stragglers only
+        idx = np.flatnonzero(~opt_n)
+        sub = batched_tnet_exact(
+            np.asarray(s)[idx], np.asarray(d)[idx], np.asarray(M)[idx],
+            reg=reg, sinkhorn_iters=sinkhorn_iters, engine="host")
+        Xn[idx], obj_n[idx] = sub[0], sub[1]
+        piv_n[idx] += sub[2]
+        opt_n[idx] = sub[3]
+        return Xn, obj_n, piv_n, opt_n
 
     if mesh is not None:
         X, push_iters, obj = sharded_batched_tnet(

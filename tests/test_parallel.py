@@ -253,3 +253,21 @@ def test_batched_tnet_pallas_sinkhorn_path_matches_xla(rng):
     X = np.asarray(o_pls[0])
     assert np.abs(X.sum(2) - s).max() < 1e-8
     assert np.abs(X.sum(1) - d).max() < 1e-8
+
+
+def test_batched_tnet_exact_device_engine_matches_host(rng):
+    """engine='device' (one-hot simplex, whole solve on device) must reach
+    the same exact optima as the host-cleanup path."""
+    import numpy as np
+
+    from smart_crossover_tpu.parallel.batched import batched_tnet_exact
+
+    B, S, D = 3, 10, 14
+    s = rng.uniform(0.5, 2, (B, S))
+    d = rng.uniform(0.5, 2, (B, D))
+    d *= (s.sum(1) / d.sum(1))[:, None]
+    M = rng.uniform(0, 5, (B, S, D))
+    Xh, oh, _, opth = batched_tnet_exact(s, d, M, engine="host")
+    Xd, od, _, optd = batched_tnet_exact(s, d, M, engine="device")
+    assert opth.all() and optd.all()
+    np.testing.assert_allclose(od, oh, rtol=1e-9)
