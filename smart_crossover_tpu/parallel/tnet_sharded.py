@@ -16,6 +16,11 @@ one shard_map:
 The result is a basic feasible vertex flow of the full instance, held
 column-sharded.  Collectives are all small (O(S) or O(S+D)) vectors riding
 the ICI; the O(S*D) heavy math never leaves its shard.
+
+TPU note: all loop-carried index chasing (component lookups, pointer
+jumping, segment max/min/sum, leaf scatters) runs as one-hot matmuls /
+masked reductions — vector gathers and scatters serialize on TPU (see
+ops/transport_simplex_parent.py; measured 200 µs vs 38 µs per round).
 """
 from __future__ import annotations
 
@@ -28,6 +33,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from smart_crossover_tpu.ops.mst import _take_f, _take_i
 from smart_crossover_tpu.parallel.mesh import MODEL_AXIS
 
 _BIG_ID = jnp.iinfo(jnp.int32).max
@@ -119,7 +125,8 @@ def sharded_tnet_single(mesh, s, d, M, reg: float = 0.01,
         def mst_body(state):
             comp, tree_loc, _, it = state
             comp_s = comp[:S]
-            comp_dl = comp[S + gcols]
+            # contiguous slice of this shard's demander components
+            comp_dl = jax.lax.dynamic_slice(comp, (S + j_base,), (Dloc,))
             cross = comp_s[:, None] != comp_dl[None, :]
             Wm = jnp.where(cross, W, -jnp.inf)
             # per-supplier best edge (cross-shard)
@@ -134,19 +141,28 @@ def sharded_tnet_single(mesh, s, d, M, reg: float = 0.01,
             eid_d = bi * D + gcols
             eid_d = jnp.where(jnp.isfinite(bw_d), eid_d, _BIG_ID)
 
-            # component champions over the V-node id space
+            # component champions over the V-node id space (masked one-hot
+            # reductions in place of segment ops)
+            cid = jnp.arange(V, dtype=comp.dtype)
             node_w_s = jnp.where(jnp.isfinite(bw_s_g), bw_s_g, -jnp.inf)
-            comp_w = jax.ops.segment_max(node_w_s, comp_s, num_segments=V)
-            comp_w_d = jax.ops.segment_max(bw_d, comp[S + gcols],
-                                           num_segments=V)
+            OHs = comp_s[:, None] == cid[None, :]           # (S, V)
+            OHd = comp_dl[:, None] == cid[None, :]          # (Dloc, V)
+            comp_w = jnp.max(
+                jnp.where(OHs, node_w_s[:, None], -jnp.inf), axis=0)
+            comp_w_d = jnp.max(
+                jnp.where(OHd, bw_d[:, None], -jnp.inf), axis=0)
             comp_w = jnp.maximum(comp_w, jax.lax.pmax(comp_w_d, ax))
 
-            cand_s = jnp.where(node_w_s == comp_w[comp_s], eid_s_g, _BIG_ID)
-            comp_eid_s = jax.ops.segment_min(cand_s, comp_s, num_segments=V)
-            cand_d = jnp.where(bw_d == comp_w[comp[S + gcols]], eid_d,
-                               _BIG_ID)
-            comp_eid_d = jax.ops.segment_min(cand_d, comp[S + gcols],
-                                             num_segments=V)
+            comp_w_f = jnp.where(jnp.isfinite(comp_w), comp_w,
+                                 jnp.asarray(-1e30, W.dtype))
+            cand_s = jnp.where(node_w_s == _take_f(comp_w_f, comp_s, V),
+                               eid_s_g, _BIG_ID)
+            comp_eid_s = jnp.min(
+                jnp.where(OHs, cand_s[:, None], _BIG_ID), axis=0)
+            cand_d = jnp.where(bw_d == _take_f(comp_w_f, comp_dl, V),
+                               eid_d, _BIG_ID)
+            comp_eid_d = jnp.min(
+                jnp.where(OHd, cand_d[:, None], _BIG_ID), axis=0)
             comp_eid = jnp.minimum(comp_eid_s,
                                    jax.lax.pmin(comp_eid_d, ax))
 
@@ -155,22 +171,28 @@ def sharded_tnet_single(mesh, s, d, M, reg: float = 0.01,
             safe = jnp.where(pick, comp_eid, 0)
             pi = safe // D
             pj = safe % D
-            # local mark of picked edges
+            # local mark of picked edges: scatter-OR as a one-hot product
             in_shard = pick & (pj >= j_base) & (pj < j_base + Dloc)
-            tree_loc = tree_loc.at[
-                jnp.where(in_shard, pi, 0),
-                jnp.where(in_shard, pj - j_base, 0)].max(in_shard)
-            # hook + compress (replicated arithmetic)
-            e_cs = comp[pi]
-            e_cd = comp[S + pj]
-            cid = jnp.arange(V, dtype=comp.dtype)
+            OH_pi = ((pi[:, None] == srows[None, :]) & in_shard[:, None]
+                     ).astype(W.dtype)                      # (V, S)
+            OH_pj = ((pj - j_base)[:, None]
+                     == jnp.arange(Dloc, dtype=jnp.int32)[None, :]
+                     ).astype(W.dtype)                      # (V, Dloc)
+            picked = jax.lax.dot_general(
+                OH_pi, OH_pj, (((0,), (0,)), ((), ())),
+                preferred_element_type=W.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+            tree_loc = tree_loc | (picked > 0.5)
+            # hook + compress (replicated arithmetic, one-hot gathers)
+            e_cs = _take_i(comp, pi, V)
+            e_cd = _take_i(comp, S + pj, V)
             other = jnp.where(e_cs == cid, e_cd, e_cs)
             parent = jnp.where(pick, other, cid)
-            mutual = parent[parent] == cid
+            mutual = _take_i(parent, parent, V) == cid
             parent = jnp.where(mutual & (cid < parent), cid, parent)
             for _ in range(jump_rounds):
-                parent = parent[parent]
-            comp = parent[comp]
+                parent = _take_i(parent, parent, V)
+            comp = _take_i(parent, comp, V)
             return comp, tree_loc, any_pick, it + 1
 
         def mst_cond(state):
@@ -185,31 +207,30 @@ def sharded_tnet_single(mesh, s, d, M, reg: float = 0.01,
 
         # ---- tree solve (leaf elimination, supplier side cross-shard) ----
         def ts_body(state):
+            # leaf rounds as one-hot products: a leaf row's single active
+            # edge one-hot IS its active row — locally zero when the edge
+            # lives on another shard, which is exactly the owner scatter
             act, rs, rd, Xf, it = state
+            hi = jax.lax.Precision.HIGHEST
             deg_s = jax.lax.psum(jnp.sum(act, axis=1), ax)
             leaf_s = deg_s == 1
-            ljl = jnp.argmax(act, axis=1).astype(jnp.int32)
-            has_local = jnp.any(act, axis=1)
-            lid = jnp.where(has_local, j_base + ljl, _BIG_ID)
-            _, gj = _global_best(
-                jnp.where(has_local, 1.0, -jnp.inf), lid, ax)
+            oh_j = (act & leaf_s[:, None]).astype(dt)        # (S, Dloc)
             flow_s = jnp.where(leaf_s, rs, 0.0)
-            # scatter into the owning shard
-            own = leaf_s & (gj >= j_base) & (gj < j_base + Dloc)
-            jl = jnp.where(own, gj - j_base, 0)
-            Xf = Xf.at[srows, jl].add(jnp.where(own, flow_s, 0.0))
-            rd = rd - jax.ops.segment_sum(jnp.where(own, flow_s, 0.0), jl,
-                                          num_segments=Dloc)
+            Xf = Xf + flow_s[:, None] * oh_j
+            rd = rd - jax.lax.dot_general(
+                flow_s, oh_j, (((0,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=hi)
             rs = rs - flow_s
             act = act & ~leaf_s[:, None]
 
             deg_d = jnp.sum(act, axis=0)
             leaf_d = deg_d == 1
-            il = jnp.argmax(act, axis=0)
+            oh_i = (act & leaf_d[None, :]).astype(dt)        # (S, Dloc)
             flow_d = jnp.where(leaf_d, rd, 0.0)
-            Xf = Xf.at[il, jnp.arange(Dloc)].add(flow_d)
-            rs = rs - jax.lax.psum(
-                jax.ops.segment_sum(flow_d, il, num_segments=S), ax)
+            Xf = Xf + flow_d[None, :] * oh_i
+            rs = rs - jax.lax.psum(jax.lax.dot_general(
+                oh_i, flow_d, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=hi), ax)
             rd = rd - flow_d
             act = act & ~leaf_d[None, :]
             return act, rs, rd, Xf, it + 1
