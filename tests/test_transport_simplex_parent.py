@@ -121,3 +121,42 @@ def test_exact_device_pipeline_parent_engine(rng):
         Xi = np.asarray(X[i])
         np.testing.assert_allclose(Xi.sum(1), o.s, atol=1e-7)
         np.testing.assert_allclose(Xi.sum(0), o.d, atol=1e-7)
+
+
+def test_parent_engine_degenerate_integer_costs(rng):
+    """Massively tied pricing/ratio tests (small-integer costs, equal
+    supplies): the one-hot engine must still terminate at exact optimality
+    (HiGHS oracle)."""
+    import numpy as np
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.ops.mst import boruvka_bipartite_mst
+    from smart_crossover_tpu.ops.transport_simplex_parent import (
+        transport_simplex_parent)
+    from smart_crossover_tpu.network_methods.tree_bi import (
+        identify_tree_flows)
+    from smart_crossover_tpu.ops.ranking import ot_flow_indicators
+
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        S, D = 12, 16
+        s = np.full(S, 4.0)
+        d = np.full(D, S * 4.0 / D)
+        M = r.integers(0, 4, (S, D)).astype(np.float64)
+        # feasible start from uniform plan indicators
+        X0 = np.outer(s, d) / s.sum()
+        W = np.asarray(ot_flow_indicators(X0, s, d))
+        X, piv = identify_tree_flows(W, s, d)
+        Bm = boruvka_bipartite_mst((np.asarray(X) > 1e-12).astype(float))
+        Xo, Bmo, pivots, optimal = transport_simplex_parent(
+            np.asarray(X), np.asarray(Bm), M, s, d, max_pivots=5000)
+        assert bool(optimal), seed
+        A_eq = np.zeros((S + D, S * D))
+        for a in range(S * D):
+            A_eq[a // D, a] = 1
+            A_eq[S + a % D, a] = 1
+        ref = linprog(M.ravel(), A_eq=A_eq,
+                      b_eq=np.concatenate([s, d]),
+                      bounds=[(0, None)] * (S * D), method="highs")
+        obj = float(np.sum(np.asarray(Xo) * M))
+        assert abs(obj - ref.fun) < 1e-7, (seed, obj, ref.fun)
