@@ -440,6 +440,31 @@ def ipm_solve(A, b, c, l, u,
                               f" |dx|={np.abs(dx).max():.2e}")
                 return dx, dy
 
+        # KKT-level primal refinement for the DIRECT paths (the tree-PCG
+        # path refines inside its own kkt_solve): near the boundary the
+        # d-scaled back-substitution loses ~1e-7 of A dx = rp to
+        # cancellation with d spreads ~1e14, observed as late-iteration
+        # primal-infeasibility DRIFT (pinf 1e-9 -> 6e-7 while mu -> 1e-14
+        # on a 3000x12000 sparse LP).  The correction re-solves with the
+        # small residual as rhs on the EXISTING factorisation.
+        if use_augmented or not (net_struct is not None and not pcg_failed):
+            kkt_base = kkt_solve
+            zero_rhs = np.zeros(n)
+
+            def kkt_solve(rhs_x, rp, _inner=kkt_base, _z=zero_rhs):
+                dx, dy = _inner(rhs_x, rp)
+                for _ in range(3):
+                    rp_err = rp - A @ dx
+                    rn = np.linalg.norm(rp_err)
+                    if rn <= 1e-13 * bnorm + 1e-4 * np.linalg.norm(rp):
+                        break
+                    dx_e, dy_e = _inner(_z, rp_err)
+                    if np.linalg.norm(rp_err - A @ dx_e) >= rn:
+                        break   # no longer improving (f64 floor)
+                    dx = dx + dx_e
+                    dy = dy + dy_e
+                return dx, dy
+
         def solve_newton(rp, rd, rcl, rcu):
             """Solve the reduced Newton system.
 
