@@ -134,3 +134,21 @@ def test_push_to_bfs_known_negative():
     np.testing.assert_allclose(Xf.sum(axis=1), [2.0, 2.0])
     np.testing.assert_allclose(Xf.sum(axis=0), [3.0, 1.0])
     assert int(iters) >= 1
+
+
+def test_one_hot_gather_helpers_match_numpy(rng):
+    """_take_f/_take_i (the TPU gather replacement used across mst.py,
+    transport_simplex_parent.py and tnet_sharded.py) must be EXACT."""
+    import numpy as np
+
+    from smart_crossover_tpu.ops.mst import _take_f, _take_i
+
+    for trial in range(5):
+        n = int(rng.integers(3, 600))
+        vals_f = rng.standard_normal(n)
+        vals_i = rng.integers(0, 2**20, n).astype(np.int32)
+        idx = rng.integers(0, n, n).astype(np.int32)
+        np.testing.assert_array_equal(
+            np.asarray(_take_f(vals_f, idx, n)), vals_f[idx])
+        np.testing.assert_array_equal(
+            np.asarray(_take_i(vals_i, idx, n)), vals_i[idx])
