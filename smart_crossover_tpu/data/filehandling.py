@@ -18,20 +18,27 @@ class FileHandler:
         self.data_dir = Path(data_dir)
 
     def model_paths(self) -> list[Path]:
-        return sorted(self.data_dir.glob("*.mps")) + \
-            sorted(self.data_dir.glob("*.mps.gz"))
+        paths = []
+        for pat in ("*.mps", "*.mps.gz", "*.lp", "*.lp.gz"):
+            paths += sorted(self.data_dir.glob(pat))
+        return paths
+
+    @staticmethod
+    def _read(path: Path) -> GeneralLP:
+        from smart_crossover_tpu.data.lp_format import read_lp
+        from smart_crossover_tpu.data.mps import read_mps
+
+        if path.name.endswith((".lp", ".lp.gz")):
+            return read_lp(path)
+        return read_mps(path)
 
     def read_all(self) -> list[GeneralLP]:
-        from smart_crossover_tpu.data.mps import read_mps
-
-        return [read_mps(p) for p in self.model_paths()]
+        return [self._read(p) for p in self.model_paths()]
 
     def get_model_by_name(self, name: str) -> GeneralLP:
-        from smart_crossover_tpu.data.mps import read_mps
-
         for p in self.model_paths():
             if p.stem == name or p.stem == name + ".mps":
-                return read_mps(p)
+                return self._read(p)
         raise FileNotFoundError(f"model {name!r} not in {self.data_dir}")
 
     def write_presolved_models(self, out_dir: str | Path) -> list[Path]:

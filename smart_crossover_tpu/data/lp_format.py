@@ -375,11 +375,10 @@ def read_lp(path: str | Path) -> GeneralLP:
     for j, v in lb.items():
         l[j] = v
     for j, v in ub.items():
+        # unlike MPS, the CPLEX/Gurobi LP format does NOT free the lower
+        # bound on a negative upper bound: the default l=0 stands (the
+        # model may simply be infeasible)
         u[j] = v
-        # MPS/LP convention: a negative upper bound without an explicit
-        # lower bound frees the lower side
-        if v < 0 and j not in lb:
-            l[j] = -np.inf
     for name in bin_names:
         j = var_index[name]
         l[j] = max(l[j], 0.0)

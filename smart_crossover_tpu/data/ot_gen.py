@@ -58,6 +58,92 @@ def synthetic_digits(num: int = 20, side: int = 28, seed: int = 42,
     return imgs
 
 
+def _read_idx_images(path) -> np.ndarray | None:
+    """Parse an IDX3 image file (the raw MNIST distribution format)."""
+    import gzip
+    import struct
+    from pathlib import Path
+
+    path = Path(path)
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as fh:
+        head = fh.read(16)
+        if len(head) < 16:
+            return None
+        magic, num, rows, cols = struct.unpack(">IIII", head)
+        if magic != 2051:
+            return None
+        buf = fh.read(num * rows * cols)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(
+            num, rows, cols).astype(np.float64)
+
+
+def load_mnist_images(path: str | None = None) -> np.ndarray | None:
+    """Load REAL MNIST pixels from a local copy, or None if absent.
+
+    Search order: explicit `path` arg, $SCX_MNIST_PATH, then standard
+    cache locations (keras mnist.npz, torchvision MNIST/raw IDX files,
+    ./data/mnist).  The environment has no network access, so unlike the
+    reference (mnist2ot.py:12-20, keras download) this never fetches —
+    callers fall back to `synthetic_digits` when this returns None."""
+    import os
+    from pathlib import Path
+
+    candidates = []
+    if path:
+        candidates.append(Path(path))
+    env = os.environ.get("SCX_MNIST_PATH")
+    if env:
+        candidates.append(Path(env))
+    home = Path.home()
+    candidates += [
+        home / ".keras" / "datasets" / "mnist.npz",
+        home / "data" / "MNIST" / "raw" / "train-images-idx3-ubyte",
+        home / "data" / "MNIST" / "raw" / "train-images-idx3-ubyte.gz",
+        Path("data") / "mnist" / "mnist.npz",
+        Path("data") / "mnist" / "train-images-idx3-ubyte",
+        Path("data") / "mnist" / "train-images-idx3-ubyte.gz",
+    ]
+    for cand in candidates:
+        if not cand.exists():
+            continue
+        if cand.is_dir():
+            for sub in ("train-images-idx3-ubyte", "mnist.npz",
+                        "train-images-idx3-ubyte.gz"):
+                if (cand / sub).exists():
+                    cand = cand / sub
+                    break
+            else:
+                continue
+        if cand.name.endswith(".npz"):
+            with np.load(cand) as z:
+                key = "x_train" if "x_train" in z else list(z.keys())[0]
+                return np.asarray(z[key], dtype=np.float64)
+        imgs = _read_idx_images(cand)
+        if imgs is not None:
+            return imgs
+    return None
+
+
+def mnist_ot_suite(num_pairs: int = 10, amplify: int = 1,
+                   seed: int = 42,
+                   mnist_path: str | None = None) -> list[OptTransport]:
+    """The reference's real-MNIST suite (mnist2ot.py:71-84): pick
+    2*num_pairs images at random (seed 42), pair i with i+1.  Falls back
+    to `mnist_like_ot_suite` (synthetic blobs) when no local MNIST copy
+    exists; instance names record which source was used."""
+    imgs = load_mnist_images(mnist_path)
+    if imgs is None:
+        return mnist_like_ot_suite(num_pairs=num_pairs, amplify=amplify,
+                                   seed=seed)
+    rng = np.random.RandomState(seed)  # reference uses np.random.seed(42)
+    pick = rng.choice(imgs.shape[0], size=2 * num_pairs, replace=False)
+    sel = imgs[pick]
+    return [images_to_ot(sel[2 * i], sel[2 * i + 1], amplify=amplify,
+                         name=f"mnist_pair{i}")
+            for i in range(num_pairs)]
+
+
 def mnist_like_ot_suite(num_pairs: int = 10, side: int = 28,
                         amplify: int = 1, seed: int = 42) -> list[OptTransport]:
     """The reference's experiment suite shape: `num_pairs` instances from

@@ -65,9 +65,12 @@ def _pdhg_chunk_kernel(A_ref, b_ref, c_ref, l_ref, u_ref, eq_ref,
         nz = omega * jnp.sum(dx * dx) + jnp.sum(dy * dy) / omega
         eta_bar = jnp.where(curv > 0, nz / (2.0 * curv), 1e10 / opnorm)
         accept = eta <= eta_bar
+        # PDLP schedule index is k+2 for 0-based k (counter pre-increment);
+        # the carried counter itself advances by 1 (k1 below).
         k1 = k + 1.0
-        # k1**p as exp(p*log(k1)): Mosaic has no powf lowering (k1 >= 1)
-        logk1 = jnp.log(k1)
+        ksched = k + 2.0
+        # **p as exp(p*log(.)): Mosaic has no powf lowering (ksched >= 2)
+        logk1 = jnp.log(ksched)
         eta_next = jnp.minimum((1.0 - jnp.exp(-0.3 * logk1)) * eta_bar,
                                (1.0 + jnp.exp(-0.6 * logk1)) * eta)
         eta_next = jnp.clip(eta_next, 1e-10 / opnorm, 1e10 / opnorm)

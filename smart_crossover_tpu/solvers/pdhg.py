@@ -126,10 +126,14 @@ def _pdhg_core(A, b, c, l, u, is_eq, opnorm,
         curv = jnp.abs(dy @ (Ax_c - Ax))
         nz = omega * (dx @ dx) + (dy @ dy) / omega
         # zero curvature -> any step is fine; a big FINITE cap keeps the
-        # (1 - k^-0.3) * eta_bar schedule NaN-free at k = 1
+        # (1 - k^-0.3) * eta_bar schedule finite everywhere
         eta_bar = jnp.where(curv > 0, nz / (2.0 * curv), 1e10 / opnorm)
         accept = eta <= eta_bar
-        k1 = (k + 1).astype(b.dtype)
+        # PDLP increments the iteration counter BEFORE this update: with a
+        # 0-based k the schedule index is k+2, so the first-update factor
+        # is (1 - 2**-0.3) ~ 0.19 instead of 0 (which would collapse eta
+        # to the clip floor and waste a ~250-iteration recovery prefix).
+        k1 = (k + 2).astype(b.dtype)
         eta_next = jnp.minimum((1.0 - k1 ** -0.3) * eta_bar,
                                (1.0 + k1 ** -0.6) * eta)
         eta_next = jnp.clip(eta_next, 1e-10 / opnorm, 1e10 / opnorm)

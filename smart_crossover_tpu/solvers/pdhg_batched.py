@@ -74,7 +74,8 @@ def _pdhg_fixed_batched(A, b, c, l, u, opnorm, x0, y0, iters: int):
             nz = dx @ dx + dy @ dy
             eta_bar = jnp.where(curv > 0, nz / (2.0 * curv), 1e10 / opnorm)
             accept = eta <= eta_bar
-            k1 = (k + 1).astype(eta.dtype)
+            # PDLP schedule index is k+2 for 0-based k
+            k1 = (k + 2).astype(eta.dtype)
             logk1 = jnp.log(k1)
             eta_next = jnp.minimum(
                 (1.0 - jnp.exp(-0.3 * logk1)) * eta_bar,
@@ -132,7 +133,7 @@ def _batched_pdhg_kernel(A_ref, b_ref, c_ref, l_ref, u_ref, scal_ref,
         nz = rsum(dx * dx) + rsum(dy * dy)
         eta_bar = jnp.where(curv > 0, nz / (2.0 * curv), 1e10 / opnorm)
         accept = eta <= eta_bar
-        k1 = (jnp.asarray(k, dt) + 1.0)
+        k1 = (jnp.asarray(k, dt) + 2.0)  # PDLP schedule index for 0-based k
         logk1 = jnp.log(k1)
         eta_next = jnp.minimum((1.0 - jnp.exp(-0.3 * logk1)) * eta_bar,
                                (1.0 + jnp.exp(-0.6 * logk1)) * eta)

@@ -58,7 +58,7 @@ class PresolveInfo:
             for i, j in reversed(self.singleton_fixes):
                 col = A.getcol(j)
                 aij = col[i, 0]
-                rest = float(col.T @ y) - aij * y[i]
+                rest = (col.T @ y).item() - aij * y[i]
                 y[i] = (lp.c[j] - rest) / aij
         return y
 

@@ -272,6 +272,14 @@ def _solve_lp_presolved(glp: GeneralLP, solver: str, method: str,
         vbasis[info.kept_cols] = out.basis.vbasis
         cbasis = np.zeros(glp.m, dtype=np.int32)
         cbasis[info.kept_rows] = out.basis.cbasis
+        # a singleton-row fix pins x_j = b_i/a_ij, possibly strictly
+        # interior -- the exact structural lift makes column j basic in
+        # the dropped '=' row i (not nonbasic-at-lower, which would
+        # reconstruct x_j = l_j and break warm starts)
+        if info.singleton_fixes:
+            for i, j in info.singleton_fixes:
+                vbasis[j] = 0
+                cbasis[i] = -1
         basis = Basis(vbasis, cbasis)
     x_bar = info.postsolve_x(out.x_bar) if out.x_bar is not None else None
     obj = float(glp.c @ x) + glp.obj_offset

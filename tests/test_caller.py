@@ -108,3 +108,21 @@ def test_caller_reads_lp_file(tmp_path):
     out = caller.return_output()
     assert out.status == "OPTIMAL"
     assert abs(out.obj_val - 8.0) < 1e-8
+
+
+def test_filehandler_globs_lp_files(tmp_path):
+    """Regression (VERDICT r2 weak #7): model_paths must surface .lp files
+    so the in-house LP reader is reachable from the batch path."""
+    from smart_crossover_tpu.data.filehandling import FileHandler
+    from smart_crossover_tpu.data.lp_gen import random_sparse_lp
+    from smart_crossover_tpu.data.mps_write import write_mps
+
+    lp = random_sparse_lp(m=10, n=25, seed=3)
+    write_mps(lp, tmp_path / "a.mps")
+    (tmp_path / "b.lp").write_text(
+        "Minimize\n obj: x + 2 y\nSubject To\n c: x + y >= 1\nEnd\n")
+    fh = FileHandler(tmp_path)
+    names = [p.name for p in fh.model_paths()]
+    assert names == ["a.mps", "b.lp"]
+    lps = fh.read_all()
+    assert lps[0].n == 25 and lps[1].n == 2

@@ -281,3 +281,23 @@ def test_cross_format_netlib_style_suite(tmp_path):
         out = solve_lp(lp_l, method="simplex")
         assert out.status == "OPTIMAL"
         assert out.obj_val == pytest.approx(want, abs=1e-7)
+
+
+def test_lp_negative_upper_keeps_default_lower(tmp_path):
+    """Regression (ADVICE r2): unlike MPS, the CPLEX/Gurobi LP format does
+    NOT free the lower bound when an upper bound is negative — l stays at
+    the default 0 (the model here is simply infeasible on x)."""
+    src = """Minimize
+ obj: x + y
+Subject To
+ c: x + y >= 1
+Bounds
+ x <= -5
+End
+"""
+    p = tmp_path / "neg.lp"
+    p.write_text(src)
+    lp = read_lp(p)
+    j = lp.col_names.index("x")
+    assert lp.l[j] == 0.0                # NOT -inf
+    assert lp.u[j] == -5.0

@@ -87,7 +87,7 @@ def test_pallas_pdhg_chunk_matches_scan(rng):
         nz = omega * (dx @ dx) + (dy @ dy) / omega
         eta_bar = jnp.where(curv > 0, nz / (2.0 * curv), 1e10 / opnorm)
         accept = eta <= eta_bar
-        k1 = (k + 1).astype(jnp.float64)
+        k1 = (k + 2).astype(jnp.float64)   # PDLP schedule index, 0-based k
         eta_next = jnp.minimum((1.0 - k1 ** -0.3) * eta_bar,
                                (1.0 + k1 ** -0.6) * eta)
         eta_next = jnp.clip(eta_next, 1e-10 / opnorm, 1e10 / opnorm)

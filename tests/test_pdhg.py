@@ -145,3 +145,21 @@ def test_pdhg_tight_kkt_sparse_lp():
     assert res.status == "OPTIMAL"
     assert np.isfinite(res.gap) and np.isfinite(res.dual_residual)
     assert max(res.primal_residual, res.dual_residual, res.gap) < 1e-8
+
+
+def test_pdhg_first_update_keeps_eta_alive(rng):
+    """Regression (ADVICE r2): the PDLP step-size schedule must use index
+    k+2 on the first update — with k+1 the reduction factor is
+    (1 - 1**-0.3) = 0, collapsing eta to the clip floor and wasting a
+    ~250-iteration recovery prefix.  On this instance the fixed schedule
+    measures 680 iterations to 1e-6 and the buggy one 1960 — assert the
+    midpoint as the regression bound."""
+    m, n = 6, 14
+    A = rng.standard_normal((m, n))
+    x0 = rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    res = pdhg_solve(A, b, c, np.zeros(n), np.ones(n), tol=1e-6,
+                     max_iters=2000, restart_period=40, polish=False)
+    assert res.status == "OPTIMAL"
+    assert res.iter_count <= 1000

@@ -169,3 +169,36 @@ def test_certify_lp_accepts_fixed_columns_with_any_rcost(rng):
     assert out.status == "OPTIMAL"
     cert = certify_lp(lp, out.x, out.y)
     assert cert.optimal
+
+
+def test_singleton_fix_basis_lift_is_structural(rng):
+    """Regression (ADVICE r2): a singleton-row-fixed column whose value is
+    strictly interior must be lifted BASIC in the dropped row (vbasis=0,
+    cbasis=-1), not nonbasic-at-lower — otherwise a warm start
+    reconstructs x_j = l_j and starts from an inconsistent basis."""
+    m, n = 5, 9
+    A = rng.standard_normal((m, n))
+    A[3, :] = 0.0
+    A[3, 7] = 2.0                       # singleton '=' row -> x7 = b3/2
+    x0 = rng.uniform(0.2, 0.8, n)
+    x0[7] = 0.37                        # strictly interior fixed value
+    b = A @ x0
+    c = rng.standard_normal(n)
+    lp = GeneralLP(A=A, b=b, c=c, l=np.zeros(n), u=np.ones(n),
+                   sense=np.full(m, "="))
+    ref = highs_obj(lp)
+    assert ref.status == 0
+
+    from smart_crossover_tpu.solvers.settings import SolverSettings
+    out = solve_lp(lp, method="simplex",
+                   settings=SolverSettings(presolve="on"))
+    assert out.status == "OPTIMAL"
+    assert out.basis.vbasis[7] == 0     # basic in the dropped row
+    assert out.basis.cbasis[3] == -1
+    assert out.x[7] == pytest.approx(0.37, abs=1e-9)
+
+    # the lifted basis must be a consistent warm start with presolve OFF
+    out2 = solve_lp(lp, method="simplex", warm_start_basis=out.basis,
+                    settings=SolverSettings(presolve="off"))
+    assert out2.status == "OPTIMAL"
+    assert out2.obj_val == pytest.approx(ref.fun, abs=1e-7)
