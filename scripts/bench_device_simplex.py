@@ -80,7 +80,7 @@ def main():
                 jax.block_until_ready(out)
                 ts.append(time.perf_counter() - t0)
             dt = float(np.median(ts))
-            X, obj, push, piv, opt = out
+            X, obj, push, piv, opt, _ = out
             row[engine] = {
                 "s": round(dt, 4),
                 "inst_per_s": round(B / dt, 1),

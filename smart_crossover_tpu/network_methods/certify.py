@@ -1,0 +1,128 @@
+"""Independent host-side certification of OT crossover results.
+
+The device transportation simplex pivots in f32: the *combinatorial*
+object it produces — the spanning-tree basis — is exact, while the flow
+values carry f32 rounding.  This module recomputes the exact f64 vertex
+and duals from the basis alone and applies the reference's acceptance
+test (reference net_manager.py:306-319: artificial flows < 1e-8 — here
+expressed as exact feasibility, since the certified basis carries no
+artificials — and reduced costs >= -1e-6).
+
+Everything here is deliberately INDEPENDENT of the device code path:
+scipy sparse LU on the tree system, dense numpy reduced costs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+from smart_crossover_tpu.parameters import (
+    TOLERANCE_FOR_ARTIFICIAL_VARS,
+    TOLERANCE_FOR_REDUCED_COSTS,
+)
+
+
+@dataclass
+class OTCertificate:
+    ok: bool
+    x: np.ndarray          # (S, D) exact f64 vertex (tree flows)
+    obj_val: float
+    max_feas_err: float    # max |Ax - b| over nodes
+    min_flow: float        # most negative tree flow (degeneracy ~ -1e-16)
+    min_rcost: float       # most negative reduced cost over all arcs
+    reason: str = ""
+
+
+def certify_ot_basis(Bm, s, d, M,
+                     feas_tol: float = TOLERANCE_FOR_ARTIFICIAL_VARS,
+                     rcost_tol: float = TOLERANCE_FOR_REDUCED_COSTS
+                     ) -> OTCertificate:
+    """Certify a claimed-optimal spanning-tree basis of a transportation
+    problem, recomputing exact f64 flows and duals from scratch.
+
+    Args:
+        Bm: (S, D) boolean basis mask with exactly S+D-1 True entries
+            forming a spanning tree of the bipartite graph.
+        s, d: supplies / demands (sum(s) == sum(d)).
+        M: (S, D) cost matrix.
+
+    The incidence convention matches OptTransport.to_MCF (models/
+    formats.py): arc (i, j) has -1 at supply row i, +1 at demand row
+    S + j, with b = [-s, d].
+    """
+    Bm = np.asarray(Bm, dtype=bool)
+    s = np.asarray(s, dtype=np.float64)
+    d = np.asarray(d, dtype=np.float64)
+    M = np.asarray(M, dtype=np.float64)
+    S, D = M.shape
+    V = S + D
+    zeros = np.zeros((S, D))
+
+    ti, tj = np.nonzero(Bm)
+    nb = ti.size
+    if nb != V - 1:
+        return OTCertificate(False, zeros, np.nan, np.inf, -np.inf,
+                             -np.inf, f"basis has {nb} arcs, want {V - 1}")
+
+    k = np.arange(nb)
+    rows = np.concatenate([ti, S + tj])
+    cols = np.concatenate([k, k])
+    data = np.concatenate([-np.ones(nb), np.ones(nb)])
+    A = sp.csc_matrix((data, (rows, cols)), shape=(V, nb))
+    b = np.concatenate([-s, d])
+
+    # drop the last row: for a spanning tree the reduced system is square
+    # nonsingular; a singular factorization means Bm was NOT a tree
+    Ared = sp.csc_matrix(A[:-1, :])
+    try:
+        lu = sp.linalg.splu(Ared.tocsc())
+        x_tree = lu.solve(b[:-1])
+        y_red = lu.solve(M[ti, tj], trans="T")
+    except RuntimeError as e:   # singular -> not a spanning tree
+        return OTCertificate(False, zeros, np.nan, np.inf, -np.inf,
+                             -np.inf, f"tree solve failed: {e}")
+
+    y = np.concatenate([y_red, [0.0]])
+    X = np.zeros((S, D))
+    X[ti, tj] = x_tree
+
+    feas = float(np.abs(A @ x_tree - b).max())
+    min_flow = float(x_tree.min()) if nb else 0.0
+    # rcost_ij = M_ij - (y_{S+j} - y_i); zero on basic arcs by construction
+    rc = M - (y[S:][None, :] - y[:S][:, None])
+    min_rcost = float(rc.min())
+
+    ok = (feas <= feas_tol and min_flow >= -feas_tol
+          and min_rcost >= -rcost_tol)
+    reason = "" if ok else (
+        f"feas={feas:.2e} min_flow={min_flow:.2e} min_rcost={min_rcost:.2e}")
+    obj = float(np.sum(X * M))
+    return OTCertificate(ok, X, obj, feas, min_flow, min_rcost, reason)
+
+
+def certify_ot_basis_batch(Bm, s, d, M, feas_tol: float | None = None,
+                           rcost_tol: float | None = None,
+                           threads: int | None = None
+                           ) -> list[OTCertificate]:
+    """Certify a batch; scipy LU releases no GIL but each instance is
+    tiny, so a thread pool still overlaps the numpy-heavy parts."""
+    import concurrent.futures as cf
+    import os
+
+    kw = {}
+    if feas_tol is not None:
+        kw["feas_tol"] = feas_tol
+    if rcost_tol is not None:
+        kw["rcost_tol"] = rcost_tol
+    B = np.shape(M)[0]
+    if threads is None:
+        threads = min(max(os.cpu_count() or 1, 1), 8)
+    if threads > 1 and B > 1:
+        with cf.ThreadPoolExecutor(max_workers=threads) as pool:
+            return list(pool.map(
+                lambda i: certify_ot_basis(Bm[i], s[i], d[i], M[i], **kw),
+                range(B)))
+    return [certify_ot_basis(Bm[i], s[i], d[i], M[i], **kw)
+            for i in range(B)]

@@ -120,7 +120,7 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
         engine = ("device" if (mesh is None and on_tpu()
                                and max(Sq, Dq) <= 512) else "host")
     if engine == "device" and mesh is None:
-        Xd, obj_d, push, piv, opt = batched_tnet_exact_device(
+        Xd, obj_d, push, piv, opt, _ = batched_tnet_exact_device(
             s, d, M, reg=reg, sinkhorn_iters=sinkhorn_iters)
         Xn = np.asarray(Xd, dtype=np.float64)
         obj_n = np.asarray(obj_d, dtype=np.float64)
@@ -223,7 +223,9 @@ def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
     Default: largest power-of-2 divisor of B keeping the chunk's dense
     working set under ~6 MB.
 
-    Returns (X, obj, push_iters, pivots, optimal_mask).
+    Returns (X, obj, push_iters, pivots, optimal_mask, basis_mask);
+    the (B, S, D) boolean basis_mask is the final spanning-tree basis,
+    from which network_methods.certify recomputes the exact f64 vertex.
     """
     from smart_crossover_tpu.ops.mst import boruvka_bipartite_mst
     from smart_crossover_tpu.ops.transport_simplex import transport_simplex
@@ -240,7 +242,7 @@ def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
         Bm = boruvka_bipartite_mst(support)
         X, Bm2, pivots, optimal = pivot_fn(
             X0, Bm, M_, s_, d_, max_pivots=max_pivots)
-        return X, jnp.sum(X * M_), push_iters, pivots, optimal
+        return X, jnp.sum(X * M_), push_iters, pivots, optimal, Bm2
 
     s = jnp.asarray(s)
     d = jnp.asarray(d)

@@ -567,7 +567,7 @@ def solve_ot(ot: OptTransport,
         )
 
         t0 = time.perf_counter()
-        X, obj, push, piv, opt = batched_tnet_exact_device(
+        X, obj, push, piv, opt, _ = batched_tnet_exact_device(
             ot.s[None], ot.d[None], ot.M[None],
             reg=settings.sinkhornReg, sinkhorn_iters=1000)
         rt = datetime.timedelta(seconds=time.perf_counter() - t0)

@@ -127,7 +127,7 @@ def test_batched_tnet_exact_device_pipeline(rng):
     s = np.stack([o.s for o in ots])
     d = np.stack([o.d for o in ots])
     M = np.stack([o.M for o in ots])
-    X, obj, push, piv, opt = batched_tnet_exact_device(
+    X, obj, push, piv, opt, Bm = batched_tnet_exact_device(
         s, d, M, reg=0.01, sinkhorn_iters=500)
     assert bool(np.all(np.asarray(opt)))
     for i, o in enumerate(ots):
