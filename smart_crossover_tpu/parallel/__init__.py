@@ -4,6 +4,7 @@ from smart_crossover_tpu.parallel.batched import (
     batched_tnet_exact,
     batched_tnet_exact_device,
     sharded_batched_tnet,
+    sharded_batched_tnet_exact_device,
     tnet_single,
 )
 from smart_crossover_tpu.parallel.mesh import (
@@ -32,6 +33,7 @@ __all__ = [
     "batched_lp_crossover",
     "batched_tnet_exact_device",
     "sharded_batched_tnet",
+    "sharded_batched_tnet_exact_device",
     "tnet_single",
     "sharded_projector",
     "sharded_pdhg",

@@ -180,6 +180,29 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
     return out_X, out_obj, pivots, optimal
 
 
+def sharded_batched_tnet_exact_device(mesh, s, d, M, reg: float = 0.005,
+                                      sinkhorn_iters: int = 1000,
+                                      max_pivots: int = 5000,
+                                      engine: str = "parent"):
+    """Batch-shard the fully-device-resident EXACT pipeline (TNET warm
+    start + transportation simplex to optimality) over the mesh 'batch'
+    axis.  Each instance's pivot loop stays on its home device; there are
+    no cross-instance collectives, so scaling is embarrassingly parallel
+    across chips."""
+    shard = NamedSharding(mesh, P("batch"))
+    fn = jax.jit(
+        lambda s_, d_, M_: batched_tnet_exact_device(
+            s_, d_, M_, reg=reg, sinkhorn_iters=sinkhorn_iters,
+            max_pivots=max_pivots, engine=engine,
+            chunk_b=s_.shape[0]),          # vmap path: no lax.map rechunk
+        in_shardings=(shard, shard, shard),
+        out_shardings=(shard,) * 6)
+    s = jax.device_put(s, shard)
+    d = jax.device_put(d, shard)
+    M = jax.device_put(M, shard)
+    return fn(s, d, M)
+
+
 def sharded_batched_tnet(mesh, s, d, M, reg: float = 0.02,
                          sinkhorn_iters: int = 200):
     """Shard the instance batch over the mesh 'batch' axis and run the

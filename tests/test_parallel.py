@@ -271,3 +271,30 @@ def test_batched_tnet_exact_device_engine_matches_host(rng):
     Xd, od, _, optd = batched_tnet_exact(s, d, M, engine="device")
     assert opth.all() and optd.all()
     np.testing.assert_allclose(od, oh, rtol=1e-9)
+
+
+def test_sharded_exact_device_simplex_certified(rng):
+    """Batch-sharded exact parent-array simplex over an 8-device mesh:
+    every instance optimal on device and the returned bases certify
+    against the independent host f64 recomputation."""
+    from smart_crossover_tpu.network_methods.certify import (
+        certify_ot_basis_batch,
+    )
+    from smart_crossover_tpu.parallel import (
+        sharded_batched_tnet_exact_device,
+    )
+
+    mesh = make_mesh(n_batch=len(jax.devices()), n_model=1)
+    B = 2 * len(jax.devices())
+    s, d, M = make_batch(rng, B=B, S=10, D=12)
+    X, obj, push, piv, opt, Bm = sharded_batched_tnet_exact_device(
+        mesh, s, d, M, reg=0.01, sinkhorn_iters=300, max_pivots=500)
+    assert bool(np.all(np.asarray(opt)))
+    certs = certify_ot_basis_batch(np.asarray(Bm), s, d, M)
+    assert all(c.ok for c in certs), [c.reason for c in certs]
+    # sharded run reaches the same optima as the unsharded host path
+    from smart_crossover_tpu.parallel import batched_tnet_exact
+    Xh, oh, _, opth = batched_tnet_exact(s, d, M, engine="host")
+    assert opth.all()
+    np.testing.assert_allclose(
+        np.array([c.obj_val for c in certs]), oh, rtol=1e-9)
