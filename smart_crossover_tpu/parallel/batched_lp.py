@@ -31,9 +31,13 @@ def batched_lp_crossover(A, b, c, l, u, tol: float = 1e-8,
     Args:
         A: (B, m, n) dense equality constraints; b: (B, m);
         c, l, u: (B, n) (finite/infinite bounds allowed).
-        warm_engine: 'ipm' (vmapped Mehrotra, O(m^3)/iter/instance) or
-            'pdhg' (batched first-order, two matvecs/iter — the cheaper
-            engine for wide fleets; VMEM-resident Pallas kernel on TPU).
+        warm_engine: 'ipm' (vmapped Mehrotra, O(m^3)/iter/instance),
+            'ipm_refined' (same device stage + host f64 Mehrotra endgame
+            per instance, solvers/ipm_fleet.py — the sharpest warm start;
+            use for f32 backends where the raw device iterate sits at
+            ~1e-5), or 'pdhg' (batched first-order, two matvecs/iter —
+            the cheaper engine for wide fleets; VMEM-resident Pallas
+            kernel on TPU).
 
     Returns:
         dict with x (B, n) vertex solutions, obj (B,), pivots (B,),
@@ -54,6 +58,13 @@ def batched_lp_crossover(A, b, c, l, u, tol: float = 1e-8,
         x_bar = np.asarray(dev["x_avg"], dtype=np.float64)
         # a first-order point is always a usable crossover seed
         converged = np.ones(B, dtype=bool)
+    elif warm_engine == "ipm_refined":
+        from smart_crossover_tpu.solvers.ipm_fleet import ipm_fleet
+
+        fleet = ipm_fleet(A, b, c, l, u, tol=tol,
+                          max_device_iters=max_ipm_iters)
+        x_bar = fleet.x
+        converged = np.array([s == "OPTIMAL" for s in fleet.status])
     else:
         dev = ipm_dense_batched(A, b, c, l, u, tol=tol,
                                 max_iters=max_ipm_iters)

@@ -123,7 +123,7 @@ def ipm_solve(A, b, c, l, u,
               tol: float = 1e-8,
               max_iter: int = 200,
               verbose: bool = False,
-              x0=None, y0=None) -> IPMResult:
+              x0=None, y0=None, zl0=None, zu0=None) -> IPMResult:
     """Solve the bounded-variable LP with Mehrotra predictor-corrector.
 
     ``x0``/``y0`` optionally warm-start the iterate: slacks are initialised
@@ -132,6 +132,12 @@ def ipm_solve(A, b, c, l, u,
     magnitude (a cold Mehrotra start otherwise).  Warm starts help most
     when the LP is a restriction or perturbation of one already solved
     near its optimal face, e.g. the perturbation-crossover subproblems.
+
+    Passing the FULL primal-dual state (``x0, y0, zl0, zu0``) continues
+    from it essentially as-is (only a strict-interior floor is applied):
+    this is the refinement path for an already-centered interior iterate,
+    e.g. the f32 device IPM's final point (solvers/ipm_fleet.py) — the
+    magnitude-based re-splitting above would destroy its centrality.
     """
     t0 = time.perf_counter()
     A = sp.csr_matrix(A).astype(np.float64)
@@ -151,7 +157,9 @@ def ipm_solve(A, b, c, l, u,
                         l[keep], u[keep], tol=tol, max_iter=max_iter,
                         verbose=verbose,
                         x0=None if x0 is None else np.asarray(x0)[keep],
-                        y0=y0)
+                        y0=y0,
+                        zl0=None if zl0 is None else np.asarray(zl0)[keep],
+                        zu0=None if zu0 is None else np.asarray(zu0)[keep])
         x_full = np.empty(n)
         x_full[keep] = res.x
         x_full[fixed] = x_fix
@@ -193,7 +201,24 @@ def ipm_solve(A, b, c, l, u,
         x0 = None   # a diverged warm start must not poison the solve
     if y0 is not None and not np.all(np.isfinite(np.asarray(y0))):
         y0 = None
-    if x0 is not None:
+    full_state = (x0 is not None and y0 is not None
+                  and zl0 is not None and zu0 is not None
+                  and np.all(np.isfinite(np.asarray(zl0)))
+                  and np.all(np.isfinite(np.asarray(zu0))))
+    if full_state:
+        # continue a centered interior iterate: keep its geometry, only
+        # enforce strict interiority (an f32 device iterate can sit at
+        # ~1e-8 from a bound, which is fine; exact zeros are not)
+        x0 = np.asarray(x0, dtype=np.float64)
+        p = np.where(has_l, np.maximum(x0 - l, 1e-12), 1.0)
+        q = np.where(has_u, np.maximum(u - x0, 1e-12), 1.0)
+        x = np.where(free, x0, x)
+        y = np.asarray(y0, dtype=np.float64).copy()
+        zl = np.where(has_l, np.maximum(np.asarray(zl0, np.float64),
+                                        1e-12), 0.0)
+        zu = np.where(has_u, np.maximum(np.asarray(zu0, np.float64),
+                                        1e-12), 0.0)
+    elif x0 is not None:
         x0 = np.asarray(x0, dtype=np.float64)
         p_w = np.where(has_l, x0 - l, 1.0)
         q_w = np.where(has_u, u - x0, 1.0)
@@ -205,7 +230,7 @@ def ipm_solve(A, b, c, l, u,
         p = np.where(has_l, np.maximum(p_w, fl_p), 1.0)
         q = np.where(has_u, np.maximum(q_w, fl_q), 1.0)
         x = np.where(free, x0, x)
-    if y0 is not None and np.asarray(y0).shape == (m,):
+    if (not full_state) and y0 is not None and np.asarray(y0).shape == (m,):
         y = np.asarray(y0, dtype=np.float64).copy()
         rd0 = c - AT @ y
         fl_z = max(1e-8, 1e-2 * float(np.mean(np.abs(rd0))))

@@ -1,0 +1,54 @@
+"""Fleet barrier solve (device batched IPM + host f64 refinement)."""
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from smart_crossover_tpu.solvers.ipm_fleet import ipm_fleet
+
+
+def make_fleet(rng, B, m, n):
+    As = rng.standard_normal((B, m, n))
+    xs = rng.uniform(0.2, 0.8, (B, n))
+    bs = np.einsum("bmn,bn->bm", As, xs)
+    cs = rng.standard_normal((B, n))
+    return As, bs, cs, np.zeros((B, n)), np.ones((B, n))
+
+
+def test_ipm_fleet_matches_highs(rng):
+    B, m, n = 6, 8, 20
+    As, bs, cs, ls, us = make_fleet(rng, B, m, n)
+    res = ipm_fleet(As, bs, cs, ls, us, tol=1e-8)
+    assert all(s == "OPTIMAL" for s in res.status)
+    for i in range(B):
+        ref = linprog(cs[i], A_eq=As[i], b_eq=bs[i], bounds=[(0, 1)] * n,
+                      method="highs")
+        assert res.obj[i] == pytest.approx(ref.fun, abs=1e-7)
+        # refined iterates satisfy the f64 KKT contract
+        assert np.abs(As[i] @ res.x[i] - bs[i]).max() < 1e-8
+        assert res.x[i].min() > -1e-10 and res.x[i].max() < 1 + 1e-10
+
+
+def test_ipm_fleet_refinement_cheap(rng):
+    """The host endgame must be a FEW iterations, not a re-solve: that is
+    the whole point of doing the bulk on device."""
+    B, m, n = 4, 10, 24
+    As, bs, cs, ls, us = make_fleet(rng, B, m, n)
+    res = ipm_fleet(As, bs, cs, ls, us, tol=1e-8, device_tol=1e-6)
+    assert all(s == "OPTIMAL" for s in res.status)
+    from smart_crossover_tpu.solvers.ipm import ipm_solve
+    cold = ipm_solve(As[0], bs[0], cs[0], ls[0], us[0], tol=1e-8)
+    # warm endgame at most half the cold iteration count on average
+    assert res.refine_iters.mean() <= 0.5 * cold.iter_count + 1
+
+
+def test_ipm_fleet_device_only(rng):
+    B, m, n = 3, 6, 16
+    As, bs, cs, ls, us = make_fleet(rng, B, m, n)
+    res = ipm_fleet(As, bs, cs, ls, us, refine=False, device_tol=1e-9,
+                    max_device_iters=60)
+    assert all(s == "DEVICE_ONLY" for s in res.status)
+    assert res.device_converged.all()
+    for i in range(B):
+        ref = linprog(cs[i], A_eq=As[i], b_eq=bs[i], bounds=[(0, 1)] * n,
+                      method="highs")
+        assert res.obj[i] == pytest.approx(ref.fun, abs=1e-6)
