@@ -59,9 +59,12 @@ def main():
     for n in sizes:
         s, d, M = make_batch(B, n, n)
         row = {"n": n}
-        for engine in ("parent", "mask"):
+        for engine in ("anc", "parent", "mask"):
             if engine == "mask" and n > 128:
                 row["mask"] = None  # known-slow; skip (STATUS.md #1)
+                continue
+            if engine == "parent" and n > 512:
+                row["parent"] = None  # quadratic wall (VERDICT r2 weak 2)
                 continue
             fn = lambda: batched_tnet_exact_device(
                 s, d, M, reg=0.005, sinkhorn_iters=1000,

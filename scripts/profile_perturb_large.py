@@ -52,7 +52,7 @@ def main():
                    sense=np.array(["="] * m))
 
     t0 = time.perf_counter()
-    out = run_perturb_algorithm(lp, solver="inhouse", verbose=True)
+    out = run_perturb_algorithm(lp)
     dt = time.perf_counter() - t0
     print(f"\nend-to-end: {dt:.1f}s status={out.status} "
           f"obj={out.obj_val:.6e} iters={out.iter_count}")

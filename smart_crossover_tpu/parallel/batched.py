@@ -235,9 +235,11 @@ def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
 
     ``engine='parent'`` (default) uses the parent-array/binary-lifting
     simplex (ops/transport_simplex_parent.py): O(V log V) gathers per pivot
-    plus one dense pricing pass.  ``engine='mask'`` keeps the original
-    dense-propagation implementation (ops/transport_simplex.py) as the
-    correctness oracle.
+    plus one dense pricing pass.  ``engine='anc'`` uses the ancestor-matrix
+    simplex (ops/transport_simplex_anc.py): incremental root-path algebra,
+    O(V^2) bool elementwise per pivot — the asymptotically lean engine for
+    512^2..1024^2.  ``engine='mask'`` keeps the original dense-propagation
+    implementation (ops/transport_simplex.py) as the correctness oracle.
 
     ``chunk_b`` splits the batch into lax.map chunks of that many
     instances.  The pivot loop is ~1000x faster when its carried state
@@ -252,12 +254,16 @@ def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
     """
     from smart_crossover_tpu.ops.mst import boruvka_bipartite_mst
     from smart_crossover_tpu.ops.transport_simplex import transport_simplex
+    from smart_crossover_tpu.ops.transport_simplex_anc import (
+        transport_simplex_anc,
+    )
     from smart_crossover_tpu.ops.transport_simplex_parent import (
         transport_simplex_parent,
     )
 
-    pivot_fn = (transport_simplex_parent if engine == "parent"
-                else transport_simplex)
+    pivot_fn = {"parent": transport_simplex_parent,
+                "anc": transport_simplex_anc,
+                "mask": transport_simplex}[engine]
 
     def one(s_, d_, M_):
         X0, push_iters, _ = tnet_single(s_, d_, M_, reg, sinkhorn_iters)
