@@ -1,0 +1,84 @@
+"""GOTO-17-class MCF experiment: the reference's flagship scale in-repo.
+
+The reference's headline network runs are goto_17_8* — 2^17 ~ 131k nodes
+(reference scripts/run_network_crossover.py:38).  This reproduces that
+scale with the in-house generator (data/mcf_gen.py goto_like_mcf at
+362x362 torus ~ 131k nodes, ~1M arcs), runs
+
+  1. the cold native network simplex (C++ core), and
+  2. CNET_MCF crossover from a first-order (PDHG, sparse) warm start,
+
+and reports pivots + wall-clock for BENCH.md (geo-mean over seeds).
+
+Usage: python scripts/run_goto17.py [width] [n_seeds]   (default 362 3)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from smart_crossover_tpu.data.mcf_gen import goto_like_mcf
+    from smart_crossover_tpu.network_methods.algorithms import (
+        network_crossover,
+    )
+    from smart_crossover_tpu.solvers.solving import solve_mcf
+
+    width = int(sys.argv[1]) if len(sys.argv) > 1 else 362
+    n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    rows = []
+    for seed in range(42, 42 + n_seeds):
+        mcf = goto_like_mcf(width, width, extra_arc_factor=4, seed=seed)
+        m, n = len(mcf.b), len(mcf.c)
+        print(f"seed={seed}: {m} nodes, {n} arcs", flush=True)
+
+        # --- cold native network simplex ---------------------------------
+        t0 = time.perf_counter()
+        cold = solve_mcf(mcf, method="network_simplex")
+        cold_dt = time.perf_counter() - t0
+        print(f"  cold core: {cold.status} obj={cold.obj_val:.6e} "
+              f"pivots={cold.iter_count} {cold_dt:.1f}s", flush=True)
+
+        # --- first-order warm start (sparse PDHG, loose tol) + CNET_MCF ---
+        from smart_crossover_tpu.solvers.settings import SolverSettings
+        t0 = time.perf_counter()
+        warm = solve_mcf(mcf, method="first_order",
+                         settings=SolverSettings(crossover="off",
+                                                 barrierTol=1e-4,
+                                                 firstOrderMaxIters=20000))
+        warm_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = network_crossover(x=warm.x, mcf=mcf, method="cnet_mcf")
+        cx_dt = time.perf_counter() - t0
+        ok = abs(out.obj_val - cold.obj_val) <= 1e-8 * (1 + abs(cold.obj_val))
+        print(f"  PDHG warm: {warm_dt:.1f}s; CNET_MCF: {out.status} "
+              f"obj={out.obj_val:.6e} pivots={out.iter_count} {cx_dt:.1f}s "
+              f"match={ok}", flush=True)
+        rows.append({
+            "seed": seed, "nodes": m, "arcs": n,
+            "cold_s": round(cold_dt, 2), "cold_pivots": int(cold.iter_count),
+            "warm_s": round(warm_dt, 2),
+            "crossover_s": round(cx_dt, 2),
+            "crossover_pivots": int(out.iter_count),
+            "obj_match": bool(ok),
+        })
+
+    geo = lambda k: float(np.exp(np.mean([np.log(max(r[k], 1e-9))
+                                          for r in rows])))
+    print(json.dumps({
+        "experiment": "goto17_class_mcf",
+        "geo_cold_s": round(geo("cold_s"), 2),
+        "geo_crossover_s": round(geo("crossover_s"), 2),
+        "geo_cold_pivots": round(geo("cold_pivots"), 1),
+        "geo_crossover_pivots": round(geo("crossover_pivots"), 1),
+        "all_match": all(r["obj_match"] for r in rows),
+        "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,7 @@ class SimplexResult:
     status: str
     runtime: datetime.timedelta
     row_basic: np.ndarray        # True where an artificial (row logical) is basic
+    fallback: bool = False       # dual_simplex only: primal finisher was used
 
 
 def primal_simplex(A, b, c, l, u,
@@ -449,6 +450,7 @@ def dual_simplex(A, b, c, l, u,
     rc[basic] = 0.0
     art_l = np.zeros(N, dtype=bool)   # artificially-added lower bounds
     art_u = np.zeros(N, dtype=bool)   # artificially-added upper bounds
+    big = 0.0
     bad_l = (st == ST_LOWER) & ~fixed_cols & (rc < -1e-7)
     bad_u = (st == ST_UPPER) & ~fixed_cols & (rc > 1e-7)
     bad_f = (st == ST_FREE) & (np.abs(rc) > 1e-7)
@@ -493,6 +495,32 @@ def dual_simplex(A, b, c, l, u,
     it = 0
     result_status = "OPTIMAL"
     drw = np.ones(m)   # dual-Devex row reference weights
+    escalations = 0
+
+    def _escalate() -> bool:
+        """Pure-dual artificial-bound continuation (Koberstein-style):
+        widen every artificial bound geometrically and let the dual loop
+        continue.  The basis stays dual feasible (reduced costs are
+        untouched); nonbasics resting on a widened bound jump with it,
+        which re-creates primal infeasibility — exactly the dual
+        simplex's restart condition.  Returns False once the escalation
+        budget is spent (the primal fallback then handles the residue)."""
+        nonlocal escalations, big
+        if escalations >= 3 or not (np.any(art_l) or np.any(art_u)):
+            return False
+        escalations += 1
+        widen = 999.0 * big
+        big *= 1000.0
+        next_u[art_u] += widen
+        next_l[art_l] -= widen
+        on_au = art_u & (st == ST_UPPER)
+        on_al = art_l & (st == ST_LOWER)
+        x[on_au] = next_u[on_au]
+        x[on_al] = next_l[on_al]
+        x_nb_ = np.where(st != ST_BASIC, x, 0.0)
+        x[basic] = lu.solve(b - Aext @ x_nb_)
+        return True
+
     while True:
         if it >= max_iter:
             result_status = "ITERATION_LIMIT"
@@ -507,6 +535,22 @@ def dual_simplex(A, b, c, l, u,
         score = np.where(viol > feas_tol, viol * viol / drw, -np.inf)
         r = int(np.argmax(score))
         if viol[r] <= feas_tol:
+            # surrogate optimum; if an artificial bound is active, widen
+            # it and continue dual (never hand a clean dual run to primal)
+            art_active = ((art_u & (st == ST_UPPER))
+                          | (art_l & (st == ST_LOWER)))
+            if np.any(art_active):
+                if _escalate():
+                    continue
+                # escalation budget spent (big ~ 1e16): a column still
+                # resting on an artificial bound with a strictly improving
+                # reduced cost certifies an unbounded ray — classify
+                # directly, no primal needed
+                imp = ((art_u & (st == ST_UPPER) & (rc < -1e-7))
+                       | (art_l & (st == ST_LOWER) & (rc > 1e-7)))
+                if np.any(imp):
+                    result_status = "UNBOUNDED"
+                    break
             break  # primal feasible + dual feasible -> optimal
         it += 1
         to_lower = below[r] >= above[r]
@@ -529,6 +573,11 @@ def dual_simplex(A, b, c, l, u,
         cand_f = at_f & (np.abs(alpha) > tol)
         cand = cand_l | cand_u | cand_f
         if not np.any(cand):
+            # an INFEASIBLE verdict under artificial bounds only certifies
+            # the RESTRICTED problem; widen the restriction and continue
+            if _escalate():
+                it -= 1
+                continue
             result_status = "INFEASIBLE"
             break
         # bound-flipping dual ratio test (BFRT).  Candidates are visited in
@@ -548,6 +597,7 @@ def dual_simplex(A, b, c, l, u,
         delta = abs(target - xb[r])
         e = -1
         n_flip = 0
+        flipped = []
         for j in order:
             cap = abs(alpha[j]) * (next_u[j] - next_l[j])
             if np.isfinite(cap) and cap < delta - 1e-12:
@@ -559,12 +609,28 @@ def dual_simplex(A, b, c, l, u,
                     x[j] = next_l[j]
                 delta -= cap
                 n_flip += 1
+                flipped.append(int(j))
             else:
                 e = int(j)
                 break
         if e < 0:
             # every candidate's capacity exhausted and infeasibility
-            # remains: dual unbounded along rho -> primal infeasible
+            # remains: dual unbounded along rho -> primal infeasible.
+            # Under artificial bounds this only certifies the restriction:
+            # revert this iteration's flips (no dual step was taken, so
+            # they would be dual-infeasible at their new bound), widen
+            # the artificial bounds, and continue the dual loop.
+            if (np.any(art_l) or np.any(art_u)) and escalations < 3:
+                for j in flipped:
+                    if st[j] == ST_UPPER:
+                        st[j] = ST_LOWER
+                        x[j] = next_l[j]
+                    else:
+                        st[j] = ST_UPPER
+                        x[j] = next_u[j]
+                _escalate()
+                it -= 1
+                continue
             result_status = "INFEASIBLE"
             break
         if n_flip:
@@ -614,11 +680,13 @@ def dual_simplex(A, b, c, l, u,
         # basis (usually very close to optimal).
         art_active = ((art_u & (st == ST_UPPER))
                       | (art_l & (st == ST_LOWER)))
-        if np.any(art_active) or result_status != "OPTIMAL":
+        if (np.any(art_active) and result_status == "OPTIMAL") \
+                or result_status not in ("OPTIMAL", "UNBOUNDED"):
             res = primal_simplex(A, b, c0, l, u, vstatus=st[:n],
                                  max_iter=max_iter, tol=tol,
                                  feas_tol=feas_tol)
             res.iter_count += it
+            res.fallback = True
             res.runtime = datetime.timedelta(
                 seconds=time.perf_counter() - t0)
             return res

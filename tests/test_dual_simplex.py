@@ -122,3 +122,34 @@ def test_dual_simplex_bfrt_no_cycling(rng):
     assert res.status == "OPTIMAL"
     assert res.iter_count < 200
     assert res.obj_val == pytest.approx(ref.fun, abs=1e-7)
+
+
+def test_dual_simplex_pure_dual_no_primal_fallback():
+    """Artificial-bound escalation (pure-dual endgame, VERDICT r2 item 7):
+    garbage warm starts on mixed bound structures resolve through the
+    DUAL engine alone — zero primal fallbacks — including direct
+    UNBOUNDED classification from a still-improving artificial bound."""
+    n_fb = 0
+    for seed in range(30):
+        rng = np.random.default_rng(seed)
+        m, n = 8, 20
+        A = rng.standard_normal((m, n))
+        l = np.where(rng.random(n) < 0.25, -np.inf, 0.0)
+        u = np.where(rng.random(n) < 0.25, np.inf,
+                     rng.uniform(0.5, 2.0, n))
+        x0 = np.where(np.isfinite(u), u * 0.4, 0.7)
+        b = A @ x0
+        c = rng.standard_normal(n)
+        vst = rng.choice([-1, -2, -3, 0], size=n).astype(np.int8)
+        res = dual_simplex(A, b, c, l, u, vstatus=vst, max_iter=20000)
+        n_fb += res.fallback
+        ref = linprog(c, A_eq=A, b_eq=b,
+                      bounds=[(lo if np.isfinite(lo) else None,
+                               hi if np.isfinite(hi) else None)
+                              for lo, hi in zip(l, u)], method="highs")
+        want = {0: "OPTIMAL", 2: "INFEASIBLE", 3: "UNBOUNDED"}.get(ref.status)
+        if want:
+            assert res.status == want, (seed, res.status, want)
+        if ref.status == 0:
+            assert res.obj_val == pytest.approx(ref.fun, rel=1e-6, abs=1e-6)
+    assert n_fb == 0
