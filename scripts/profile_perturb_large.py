@@ -27,7 +27,6 @@ def make_sparse_lp(m=3000, n=12000, seed=7, density=8.0, n_free=None):
     A = A + sp.eye(m, n, format="csr")          # full row rank-ish anchor
     x_feas = rng.uniform(0.2, 0.8, n)
     b = A @ x_feas
-    c = rng.standard_normal(n)
     l = np.zeros(n)
     u = np.full(n, np.inf)
     u[rng.choice(n, n // 4, replace=False)] = rng.uniform(1.0, 3.0, n // 4)
@@ -36,6 +35,12 @@ def make_sparse_lp(m=3000, n=12000, seed=7, density=8.0, n_free=None):
     free_idx = rng.choice(n, n_free, replace=False)
     l[free_idx] = -np.inf
     u[free_idx] = np.inf
+    # bounded by construction: c = A'y0 + margin, margin >= 0 and zero on
+    # free columns (a random c on a free column is an unbounded ray)
+    y0 = rng.standard_normal(m)
+    margin = np.abs(rng.standard_normal(n)) + 0.01
+    margin[free_idx] = 0.0
+    c = np.asarray(A.T @ y0).ravel() + margin
     return A, b, c, l, u
 
 

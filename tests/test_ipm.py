@@ -183,3 +183,37 @@ def test_ipm_staircase_conditioning():
     assert res.status == "OPTIMAL"
     ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
     assert abs(res.obj_val - ref.fun) / (1 + abs(ref.fun)) < 1e-7
+
+
+def test_ipm_degenerate_vertex_endgame_precision():
+    """Degenerate optimal vertex (sparse support, oversubscribed
+    zero-margin duals, free variables): the extended-precision endgame
+    residuals must deliver pinf at f64 roundoff, not a 1e-8 floor
+    (VERDICT r2 item 8 / STATUS.md #0)."""
+    import scipy.sparse as sp
+
+    from smart_crossover_tpu.solvers.ipm import ipm_solve
+
+    rng = np.random.default_rng(7)
+    m, n = 300, 1200
+    nnz = 8 * n
+    A = sp.csr_matrix((rng.standard_normal(nnz),
+                       (rng.integers(0, m, nnz), rng.integers(0, n, nnz))),
+                      shape=(m, n)) + sp.eye(m, n, format="csr")
+    supp = rng.choice(n, m // 2, replace=False)
+    x_star = np.zeros(n)
+    x_star[supp] = rng.uniform(0.5, 2.0, m // 2)
+    l = np.zeros(n)
+    u = np.full(n, np.inf)
+    free_idx = rng.choice(n, n // 20, replace=False)
+    l[free_idx] = -np.inf
+    b = A @ x_star
+    margin = np.abs(rng.standard_normal(n)) + 0.01
+    margin[rng.choice(n, m, replace=False)] = 0.0
+    margin[supp] = 0.0
+    margin[free_idx] = 0.0
+    c = np.asarray(A.T @ rng.standard_normal(m)).ravel() + margin
+    res = ipm_solve(A, b, c, l, u, tol=1e-8)
+    assert res.status == "OPTIMAL"
+    pinf = np.linalg.norm(b - A @ res.x) / (1 + np.linalg.norm(b))
+    assert pinf < 1e-10, pinf
