@@ -111,9 +111,7 @@ def main():
     t = _measure(lambda: fn(W), lambda o: float(np.asarray(o).sum()))
     V = S + D
     K = int(np.ceil(np.log2(V)))
-    # per round: component one-hot contractions ~ 2 (V,V)x(V,V)-ish
-    # products; O(log V) rounds
-    mst_flops = 2.0 * B * K * (2 * V * V * V / 1000)  # upper-bnd/1000 note
+    # per round: component one-hot builds + contractions, O(log V) rounds
     mst_bytes = B * K * 6 * V * V * dt_bytes
     rows.append(_row(f"boruvka MST {B}x{S}x{D}", t,
                      2.0 * B * K * S * D * 8, mst_bytes, on_tpu,
