@@ -76,21 +76,32 @@ def _ext_residual(A_csr, nz_rows, x, b):
     return np.asarray(b.astype(np.longdouble) - acc, dtype=np.float64)
 
 
-def _factor_spd(M, reg):
+def _factor_spd(M, reg, force_dense: bool = False):
     """Factor the SPD normal-equations product M (+ reg I), dense or sparse
     by density.  The dense path adds the regularisation on the dense
     diagonal directly, skipping the 9M-nnz sparse tocsc/add round-trips
     that otherwise cost as much as the factorisation itself.
 
+    ``force_dense`` routes to dense LAPACK regardless of fill: callers
+    with WIDE multi-RHS solves (the bordered free-variable path applies
+    M^-1 to the whole border every iteration) need BLAS3 dpotrs —
+    SuperLU backsolves one RHS at a time and is ~10x slower there even
+    when the factor itself is sparse.
+
+    Accepts a scipy sparse matrix or a dense ndarray (e.g. the device-
+    formed product from solvers/ne_offload.py).
+
     Returns ``solve(rhs)`` accepting a vector or matrix right-hand side.
     """
     m = M.shape[0]
-    if m <= _DENSE_NE_MAX_M and M.nnz > _DENSE_NE_CUT * m * m:
+    dense_in = isinstance(M, np.ndarray)
+    if m <= _DENSE_NE_MAX_M and (dense_in or force_dense
+                                 or M.nnz > _DENSE_NE_CUT * m * m):
         # All dense LAPACK here runs under a 1-thread BLAS limit: on shared
         # small hosts OpenBLAS's thread synchronisation costs 50-70x at
         # m~400 (343 ms vs 5 ms per dpotrf, measured) and still 5x at
         # m=3000, so single-threaded is uniformly faster for our sizes.
-        Md0 = M.toarray()
+        Md0 = M if dense_in else M.toarray()
         # Network/transportation rows are linearly dependent (rank m-1), so
         # M is often PSD-singular: retry Cholesky with a stronger shift
         # before degrading to dense LU; never fall back to sparse LU here —
@@ -104,6 +115,12 @@ def _factor_spd(M, reg):
                                          check_finite=False)
 
                     def _solve_cho(rhs, _cho=cho):
+                        # wide multi-RHS solves are BLAS3 (dpotrs) and DO
+                        # profit from threads; the 1-thread limit is only
+                        # for the sync-dominated thin solves
+                        if getattr(rhs, "ndim", 1) > 1 and rhs.shape[1] >= 64:
+                            return sla.cho_solve(_cho, rhs,
+                                                 check_finite=False)
                         with _tp_limits(limits=1, user_api="blas"):
                             return sla.cho_solve(_cho, rhs,
                                                  check_finite=False)
@@ -121,6 +138,8 @@ def _factor_spd(M, reg):
                         return sla.lu_solve(_lu, rhs, check_finite=False)
 
                 return _solve_lu
+    if dense_in:   # dense fell through every LAPACK attempt: sparsify
+        M = sp.csr_matrix(M)
     lu = spla.splu((M + reg * sp.eye(m)).tocsc())
     return lu.solve
 
@@ -258,6 +277,12 @@ def ipm_solve(A, b, c, l, u,
     bnorm = 1.0 + np.linalg.norm(b)
     cnorm = 1.0 + np.linalg.norm(c)
 
+    # device offload of the dense normal-equations formation (opt-in;
+    # see solvers/ne_offload.py for the accuracy/eligibility contract)
+    from smart_crossover_tpu.solvers.ne_offload import maybe_device_ne
+
+    device_ne = maybe_device_ne(A)
+
     # network detection for the tree-PCG normal-equations path (large MCF)
     net_struct = None
     pcg_failed = False
@@ -343,7 +368,10 @@ def ipm_solve(A, b, c, l, u,
             nonfree = ~free
             d_nf = np.where(nonfree, 1.0 / np.maximum(dinv, 1e-14), 0.0)
             d_nf = np.minimum(d_nf, 1e14)
-            M = _scaled(A, d_nf) @ AT
+            if device_ne is not None and mu > 1e-6:
+                M = device_ne.form(d_nf)        # f32 MXU GEMM, dense M
+            else:
+                M = _scaled(A, d_nf) @ AT
             reg = 1e-12 * (1.0 + M.diagonal().max())
             A_F = A[:, free].tocsc()
             f = A_F.shape[1]
@@ -354,7 +382,8 @@ def ipm_solve(A, b, c, l, u,
             # LU of the whole bordered matrix when M alone is (numerically)
             # singular, e.g. A_N rank-deficient without the free columns.
             try:
-                solveM = _factor_spd(M, reg)
+                solveM = _factor_spd(
+                    M, reg, force_dense=(f >= 64 and m <= _DENSE_NE_MAX_M))
                 AFd = A_F.toarray() if f else np.zeros((m, 0))
                 Z = solveM(AFd) if f else np.zeros((m, 0))
                 if f:
@@ -440,7 +469,10 @@ def ipm_solve(A, b, c, l, u,
                             _factor_spd(_scaled(A, _d) @ AT, _reg))
                     return _direct[0](rhs_y)
             if solveM is None:
-                ADAt = _scaled(A, d) @ AT
+                if device_ne is not None and mu > 1e-6:
+                    ADAt = device_ne.form(d)    # f32 MXU GEMM, dense
+                else:
+                    ADAt = _scaled(A, d) @ AT
                 reg = 1e-12 * (1.0 + ADAt.diagonal().max())
                 try:
                     base_solve = _factor_spd(ADAt, reg)

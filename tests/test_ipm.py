@@ -217,3 +217,31 @@ def test_ipm_degenerate_vertex_endgame_precision():
     assert res.status == "OPTIMAL"
     pinf = np.linalg.norm(b - A @ res.x) / (1 + np.linalg.norm(b))
     assert pinf < 1e-10, pinf
+
+
+def test_factor_spd_accepts_dense_ndarray():
+    """_factor_spd must handle device-formed dense products
+    (solvers/ne_offload.py) identically to sparse input."""
+    import scipy.sparse as sp
+
+    from smart_crossover_tpu.solvers.ipm import _factor_spd
+
+    rng = np.random.default_rng(0)
+    m = 40
+    B = rng.standard_normal((m, 3 * m))
+    M = B @ B.T
+    rhs = rng.standard_normal((m, 5))
+    s_dense = _factor_spd(M, 1e-12)(rhs)
+    s_sparse = _factor_spd(sp.csr_matrix(M), 1e-12, force_dense=True)(rhs)
+    np.testing.assert_allclose(s_dense, s_sparse, rtol=1e-9)
+    x = np.linalg.solve(M + 1e-12 * np.eye(m), rhs)
+    np.testing.assert_allclose(s_dense, x, rtol=1e-6, atol=1e-9)
+
+
+def test_ne_offload_disabled_off_tpu():
+    import scipy.sparse as sp
+
+    from smart_crossover_tpu.solvers.ne_offload import maybe_device_ne
+
+    A = sp.random(2000, 4000, density=0.01, format="csr")
+    assert maybe_device_ne(A) is None   # CPU backend / env gate
