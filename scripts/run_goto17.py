@@ -49,7 +49,7 @@ def main():
         warm = solve_mcf(mcf, method="first_order",
                          settings=SolverSettings(crossover="off",
                                                  barrierTol=1e-4,
-                                                 firstOrderMaxIters=20000))
+                                                 firstOrderMaxIters=5000))
         warm_dt = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = network_crossover(x=warm.x, mcf=mcf, method="cnet_mcf")
