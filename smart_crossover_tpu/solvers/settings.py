@@ -28,6 +28,10 @@ class SolverSettings:
     networkSimplexMaxIters: int = 10_000_000
     firstOrderMaxIters: int = 100_000
     sinkhornReg: float = 1e-2
+    # Device transportation-simplex engine for method='device_simplex':
+    # 'parent' (one-hot binary lifting), 'anc' (incremental ancestor
+    # matrix — the large-instance engine), 'mask' (oracle).
+    deviceSimplexEngine: str = "parent"
     # Exact INFEASIBLE/UNBOUNDED certification (solvers/rays.py) when the
     # barrier/first-order engines fail: 'auto' certifies when the iterates
     # point at infeasibility/unboundedness, 'on' on any failure status,

@@ -569,7 +569,8 @@ def solve_ot(ot: OptTransport,
         t0 = time.perf_counter()
         X, obj, push, piv, opt, _ = batched_tnet_exact_device(
             ot.s[None], ot.d[None], ot.M[None],
-            reg=settings.sinkhornReg, sinkhorn_iters=1000)
+            reg=settings.sinkhornReg, sinkhorn_iters=1000,
+            engine=settings.deviceSimplexEngine)
         rt = datetime.timedelta(seconds=time.perf_counter() - t0)
         status = "OPTIMAL" if bool(_np.asarray(opt)[0]) else "ITERATION_LIMIT"
         return Output(x=_np.asarray(X[0], dtype=_np.float64).ravel(),
