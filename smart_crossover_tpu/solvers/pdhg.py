@@ -236,6 +236,145 @@ def _pdhg_core(A, b, c, l, u, is_eq, opnorm,
     return x, y, it, done
 
 
+def _pdhg_core_halpern(A, b, c, l, u, is_eq, opnorm, x0, y0,
+                       max_iters: int, check_every: int,
+                       restart_period: int, tol: float):
+    """Restarted reflected-Halpern PDHG (r2HPDHG, Lu & Yang 2024; the
+    cuPDLP+ acceleration).  One inner step is
+
+        z+ = (k+1)/(k+2) * (2 T(z) - z) + 1/(k+2) * z_anchor
+
+    with T one FIXED-step PDHG map (tau*sigma*||A||^2 = 0.99^2 — Halpern
+    needs a nonexpansive T, so no adaptive eta) and the anchor reset to
+    the current iterate at every restart.  The averaging machinery of the
+    adaptive core is replaced by the anchor sequence, which converges at
+    the accelerated O(1/k) fixed-point-residual rate and empirically
+    halves the 1e-8 tail on sharp LPs.  Restart criteria, primal-weight
+    updates and best-iterate tracking mirror _pdhg_core."""
+
+    def proj_x(x):
+        return jnp.clip(x, l, u)
+
+    def proj_y(y):
+        return jnp.where(is_eq, y, jnp.minimum(y, 0.0))
+
+    bscale = 1.0 + jnp.linalg.norm(b)
+    cscale = 1.0 + jnp.linalg.norm(c)
+
+    def kkt_score(x, y):
+        r = A @ x - b
+        pviol = jnp.where(is_eq, r, jnp.maximum(r, 0.0))
+        pres = jnp.linalg.norm(pviol) / bscale
+        rc = c - A.T @ y
+        lo_ok = jnp.isfinite(l) & (x <= l + 1e-12)
+        up_ok = jnp.isfinite(u) & (x >= u - 1e-12)
+        dviol = jnp.where(lo_ok, jnp.minimum(rc, 0.0),
+                          jnp.where(up_ok, jnp.maximum(rc, 0.0), rc))
+        dres = jnp.linalg.norm(dviol) / cscale
+        ly = jnp.where(jnp.isfinite(l), l, 0.0)
+        uy = jnp.where(jnp.isfinite(u), u, 0.0)
+        rc_pos = jnp.maximum(rc, 0.0) * jnp.isfinite(l)
+        rc_neg = jnp.minimum(rc, 0.0) * jnp.isfinite(u)
+        dual_obj = b @ y + ly @ rc_pos + uy @ rc_neg
+        pobj = c @ x
+        gap = jnp.abs(pobj - dual_obj) / (1.0 + jnp.abs(pobj)
+                                          + jnp.abs(dual_obj))
+        return pres, dres, gap
+
+    step = 0.99 / opnorm
+
+    def one_iter(carry, _):
+        x, y, Ax, xa, ya, Axa, omega, k = carry
+        tau = step / omega
+        sigma = step * omega
+        # T(z): one fixed-step PDHG map (carried A@x avoids extra matvecs)
+        x_t = proj_x(x - tau * (c - A.T @ y))
+        Ax_t = A @ x_t
+        y_t = proj_y(y + sigma * (b - (2.0 * Ax_t - Ax)))
+        # reflection then Halpern anchoring; Ax of the combination is the
+        # same linear combination of carried products
+        lam = (k + 1.0) / (k + 2.0)
+        x_n = lam * (2.0 * x_t - x) + (1.0 - lam) * xa
+        y_n = lam * (2.0 * y_t - y) + (1.0 - lam) * ya
+        Ax_n = lam * (2.0 * Ax_t - Ax) + (1.0 - lam) * Axa
+        return (x_n, y_n, Ax_n, xa, ya, Axa, omega, k + 1.0), None
+
+    def outer_body(state):
+        (x, y, Ax, xa, ya, Axa, cnt, it, x_lr, y_lr, score_lr, score_prev,
+         best_x, best_y, best_score, omega, done) = state
+        (x, y, Ax, xa, ya, Axa, _, _), _ = jax.lax.scan(
+            one_iter, (x, y, Ax, xa, ya, Axa, omega,
+                       jnp.asarray(cnt, x.dtype)),
+            None, length=check_every)
+        cnt = cnt + check_every
+        # the restart/output candidate is T(z), the PDHG image of the
+        # Halpern iterate (r2HPDHG outputs T(z_k)): the reflected sequence
+        # itself oscillates around the solution and scores noisily
+        tau = step / omega
+        sigma = step * omega
+        x_c = proj_x(x - tau * (c - A.T @ y))
+        Ax_c = A @ x_c
+        y_c = proj_y(y + sigma * (b - (2.0 * Ax_c - Ax)))
+        pres, dres, gap = kkt_score(x_c, y_c)
+        kkt = pres + dres + gap
+        improved = kkt < best_score
+        best_x = jnp.where(improved, x_c, best_x)
+        best_y = jnp.where(improved, y_c, best_y)
+        best_score = jnp.minimum(kkt, best_score)
+        done = (pres < tol) & (dres < tol) & (gap < tol)
+        # r2HPDHG restarts on the FIXED-POINT residual ||z - T(z)||_omega:
+        # on sharp LPs each restart at a geometrically smaller FPR is what
+        # upgrades the anchored O(1/k) rate to linear
+        score = jnp.sqrt(omega * jnp.sum((x_c - x) ** 2)
+                         + jnp.sum((y_c - y) ** 2) / omega)
+        sufficient = score <= 0.2 * score_lr
+        necessary = (score <= 0.8 * score_lr) & (score > score_prev)
+        artificial = cnt >= jnp.maximum(restart_period,
+                                        (0.36 * (it + check_every))
+                                        .astype(cnt.dtype))
+        restart = sufficient | necessary | artificial | done
+        dx_move = jnp.linalg.norm(x_c - x_lr)
+        dy_move = jnp.linalg.norm(y_c - y_lr)
+        valid = restart & (dx_move > 1e-12) & (dy_move > 1e-12)
+        log_ratio = jnp.log(jnp.where(valid, dy_move / dx_move, 1.0))
+        omega = jnp.where(valid,
+                          jnp.exp(0.5 * log_ratio + 0.5 * jnp.log(omega)),
+                          omega)
+        omega = jnp.clip(omega, 1e-4, 1e4)
+        # restart: jump to T(z) and re-anchor there, resetting the
+        # Halpern counter (cnt doubles as the inner k)
+        x = jnp.where(restart, x_c, x)
+        y = jnp.where(restart, y_c, y)
+        Ax = jnp.where(restart, Ax_c, Ax)
+        xa = jnp.where(restart, x_c, xa)
+        ya = jnp.where(restart, y_c, ya)
+        Axa = jnp.where(restart, Ax_c, Axa)
+        cnt = jnp.where(restart, 0, cnt)
+        x_lr = jnp.where(restart, x_c, x_lr)
+        y_lr = jnp.where(restart, y_c, y_lr)
+        score_lr = jnp.where(restart, score, score_lr)
+        return (x, y, Ax, xa, ya, Axa, cnt, it + check_every, x_lr, y_lr,
+                score_lr, score, best_x, best_y, best_score, omega, done)
+
+    def cond(state):
+        *_, done = state
+        it = state[7]
+        return (~done) & (it < max_iters)
+
+    fdt = A.dtype if hasattr(A, "dtype") else jnp.float64
+    Ax0 = A @ x0
+    state = (x0, y0, Ax0, x0, y0, Ax0, jnp.asarray(0), jnp.asarray(0),
+             x0, y0, jnp.asarray(jnp.inf, fdt), jnp.asarray(jnp.inf, fdt),
+             x0, y0, jnp.asarray(jnp.inf, fdt), jnp.asarray(1.0, fdt),
+             jnp.asarray(False))
+    out = jax.lax.while_loop(cond, outer_body, state)
+    x, y, it, best_x, best_y, done = out[0], out[1], out[7], out[12], \
+        out[13], out[16]
+    x = jnp.where(done, x, best_x)
+    y = jnp.where(done, y, best_y)
+    return x, y, it, done
+
+
 def _ruiz_equilibrate(A, iters: int = 10):
     """Ruiz diagonal equilibration: returns (R, C) with R A C well scaled."""
     from jax.experimental import sparse as jsparse
@@ -373,7 +512,8 @@ def pdhg_solve(A, b, c, l, u, sense=None,
                restart_period: int = 200,
                x0=None, y0=None, rescale: bool = True,
                polish: bool = True,
-               use_pallas: bool | None = None) -> PDHGResult:
+               use_pallas: bool | None = None,
+               mode: str = "adaptive") -> PDHGResult:
     """Solve an LP with restarted PDHG (Ruiz-equilibrated by default).
 
     Args:
@@ -383,6 +523,10 @@ def pdhg_solve(A, b, c, l, u, sense=None,
             kernel (ops/pdhg_pallas.py).  Default: on TPU when dense A
             fits the kernel's VMEM budget; forced True uses interpret
             mode off-TPU (slow — for testing).
+        mode: 'adaptive' (PDLP adaptive step sizes + averaging restarts,
+            the default/oracle) or 'halpern' (restarted reflected-Halpern
+            acceleration, _pdhg_core_halpern — the sharp-tail engine;
+            XLA path only).
     """
     t0 = time.perf_counter()
     from jax.experimental import sparse as jsparse
@@ -433,6 +577,8 @@ def pdhg_solve(A, b, c, l, u, sense=None,
         y0 = jnp.asarray(y0, dtype=dtype)
 
     check_every = min(64, restart_period)
+    if mode == "halpern":
+        use_pallas = False      # Halpern chunks are XLA-only (for now)
     if use_pallas is None:
         from smart_crossover_tpu.config import on_tpu
         from smart_crossover_tpu.ops.pdhg_pallas import pdhg_pallas_ok
@@ -457,7 +603,8 @@ def pdhg_solve(A, b, c, l, u, sense=None,
         x = x[:n]
         y = y[:m]
     else:
-        x, y, iters, done = _pdhg_core(
+        core = _pdhg_core_halpern if mode == "halpern" else _pdhg_core
+        x, y, iters, done = core(
             A, b, c, l, u, is_eq, opnorm, x0, y0,
             max_iters=max_iters, check_every=check_every,
             restart_period=restart_period, tol=tol)

@@ -163,3 +163,21 @@ def test_pdhg_first_update_keeps_eta_alive(rng):
                      max_iters=2000, restart_period=40, polish=False)
     assert res.status == "OPTIMAL"
     assert res.iter_count <= 1000
+
+
+def test_pdhg_halpern_mode_matches_adaptive(rng):
+    """Restarted reflected-Halpern PDHG (mode='halpern') reaches the same
+    optimum as the adaptive-step oracle and HiGHS."""
+    from scipy.optimize import linprog
+
+    m, n = 40, 160
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = A.T @ rng.standard_normal(m) + np.abs(rng.standard_normal(n)) + 0.05
+    l = np.zeros(n)
+    u = np.full(n, 2.0)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 2)] * n, method="highs")
+    r = pdhg_solve(A, b, c, l, u, tol=1e-7, max_iters=60_000,
+                   mode="halpern")
+    assert r.status == "OPTIMAL"
+    assert abs(r.obj_val - ref.fun) < 1e-5 * (1 + abs(ref.fun))
