@@ -23,8 +23,51 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from smart_crossover_tpu.solvers.ipm import IPMResult, ipm_solve
+from smart_crossover_tpu.solvers.ipm import IPMResult, _tp_limits, ipm_solve
 from smart_crossover_tpu.solvers.ipm_batched import ipm_dense_batched
+
+
+def _thread_map(work, B, threads=None):
+    """Run ``work(i0, i1)`` over batch chunks on a thread pool, one BLAS
+    thread per worker: numpy's 3-D matmul/inv walk the batch in a single
+    C loop, so neither the loop nor (on a shared host) the per-slice BLAS
+    threading parallelises — chunked threads recover ~10x (measured)."""
+    if threads is None:
+        threads = min(max(os.cpu_count() or 1, 1), 8)
+    chunks = min(threads, B)
+    if chunks <= 1:
+        work(0, B)
+        return
+    bounds = np.linspace(0, B, chunks + 1).astype(int)
+    with cf.ThreadPoolExecutor(max_workers=chunks) as pool:
+        list(pool.map(lambda i: work(bounds[i], bounds[i + 1]),
+                      range(chunks)))
+
+
+def _bmm(X, Y):
+    """Threaded batched matmul X @ Y over the leading axis."""
+    B = X.shape[0]
+    out = np.empty((B, X.shape[1], Y.shape[2]), dtype=np.float64)
+
+    def work(i0, i1):
+        with _tp_limits(limits=1, user_api="blas"):
+            np.matmul(X[i0:i1], Y[i0:i1], out=out[i0:i1])
+
+    _thread_map(work, B)
+    return out
+
+
+def _binv(M):
+    """Threaded batched inverse over the leading axis."""
+    B = M.shape[0]
+    out = np.empty_like(M)
+
+    def work(i0, i1):
+        with _tp_limits(limits=1, user_api="blas"):
+            out[i0:i1] = np.linalg.inv(M[i0:i1])
+
+    _thread_map(work, B)
+    return out
 
 
 def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
@@ -116,7 +159,7 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
         # degenerate columns must not make the whole batch singular
         d = 1.0 / np.maximum(zl / p + zu / q, 1e-10)       # (B, n)
         d = np.minimum(d, 1e10)
-        ADA = (A * d[:, None, :]) @ AT
+        ADA = _bmm(A * d[:, None, :], AT)
         # PER-INSTANCE regularisation: a converged instance's scaling d
         # saturates at the 1e10 cap, and a shared (batch-max) reg would
         # poison every still-active instance's Newton system
@@ -129,7 +172,7 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
         # OpenBLAS per-call sync).  The inverse-apply loses ~cond*eps
         # digits, so every solve gets one iterative-refinement pass —
         # with f64 eps that contracts as long as cond(ADA) << 1e16.
-        ADAinv = np.linalg.inv(ADA)
+        ADAinv = _binv(ADA)
 
         def batch_solve(rhs):
             dy_ = (ADAinv @ rhs[..., None])[..., 0]
