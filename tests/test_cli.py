@@ -8,7 +8,10 @@ def _run(args, timeout=300):
     import os
 
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # force-set (not setdefault): the session may carry JAX_PLATFORMS=axon
+    # while we disable the axon plugin below — jax would then abort on the
+    # unknown backend before the CLI even parses its arguments
+    env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
     return subprocess.run([sys.executable, "-m", "smart_crossover_tpu"] + args,
                           capture_output=True, text=True, timeout=timeout,
