@@ -51,10 +51,12 @@ def goto_like_mcf(width: int = 16, height: int = 16, extra_arc_factor: int = 4,
     sources = nodes_perm[:k]
     sinks = nodes_perm[k:2 * k]
     per_node = np.zeros(m)
-    for v in sources:
-        per_node[v] = -min(supply / k, 0.4 * cap[tails == v].sum())
-    for v in sinks:
-        per_node[v] = min(supply / k, 0.4 * cap[heads == v].sum())
+    # per-node capacity sums via bincount: the per-node masked scans were
+    # O(k*n) and took tens of minutes at GOTO-17 scale (131k nodes, 1M arcs)
+    out_cap = np.bincount(tails, weights=cap, minlength=m)
+    in_cap = np.bincount(heads, weights=cap, minlength=m)
+    per_node[sources] = -np.minimum(supply / k, 0.4 * out_cap[sources])
+    per_node[sinks] = np.minimum(supply / k, 0.4 * in_cap[sinks])
     # balance total supply and demand
     tot_s = -per_node[per_node < 0].sum()
     tot_d = per_node[per_node > 0].sum()
