@@ -493,9 +493,16 @@ def solve_mcf(mcf: MinCostFlow,
         import scipy.sparse as ssp
 
         A_b = jsparse.BCOO.from_scipy_sparse(ssp.csr_matrix(mcf.A))
+        # active-set polish only when the FOM pair IS the final product
+        # (no crossover, tight tol): for warm starts it spends minutes of
+        # LSMR at GOTO-17 scale sharpening a point the network simplex
+        # re-certifies anyway
+        fom_final = (settings.crossover != "on"
+                     and settings.barrierTol <= 1e-6)
         res = pdhg_solve(A_b, mcf.b, mcf.c, np.zeros(mcf.n), mcf.u,
                          tol=max(settings.barrierTol, 1e-7),
-                         max_iters=settings.firstOrderMaxIters)
+                         max_iters=settings.firstOrderMaxIters,
+                         polish=fom_final)
         out_interior = Output(x=res.x, y=res.y, x_bar=res.x,
                               obj_val=res.obj_val, runtime=res.runtime,
                               bar_iter_count=res.iter_count,
