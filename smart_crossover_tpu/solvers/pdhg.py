@@ -828,8 +828,8 @@ def pdhg_solve(A, b, c, l, u, sense=None,
 
 
 def pdhg_general_lp(lp, tol: float = 1e-6, max_iters: int = 100_000,
-                    x0=None, y0=None, sparse: bool | None = None
-                    ) -> PDHGResult:
+                    x0=None, y0=None, sparse: bool | None = None,
+                    mode: str = "adaptive") -> PDHGResult:
     """PDHG on a GeneralLP.  ``sparse=True`` keeps A as a BCOO sparse matrix
     on device (matvecs lower to gather/scatter); default picks sparse for
     big, sparse instances."""
@@ -846,4 +846,4 @@ def pdhg_general_lp(lp, tol: float = 1e-6, max_iters: int = 100_000,
     else:
         A = np.asarray(A_sp.todense())
     return pdhg_solve(A, lp.b, lp.c, lp.l, lp.u, sense=lp.sense, tol=tol,
-                      max_iters=max_iters, x0=x0, y0=y0)
+                      max_iters=max_iters, x0=x0, y0=y0, mode=mode)

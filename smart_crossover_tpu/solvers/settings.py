@@ -28,6 +28,10 @@ class SolverSettings:
     networkSimplexMaxIters: int = 10_000_000
     firstOrderMaxIters: int = 100_000
     sinkhornReg: float = 1e-2
+    # First-order engine variant: 'adaptive' (PDLP, default/oracle) or
+    # 'halpern' (restarted reflected-Halpern, the sharp-tail engine;
+    # 2.2x at 1e-8 on the 1500x6000 class).
+    fomMode: str = "adaptive"
     # Device transportation-simplex engine for method='device_simplex':
     # 'parent' (one-hot binary lifting), 'anc' (incremental ancestor
     # matrix — the large-instance engine), 'mask' (oracle).

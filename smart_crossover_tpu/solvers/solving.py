@@ -169,7 +169,7 @@ def solve_lp(lp: Union[GeneralLP, StandardLP],
             x0, y0 = warm_start_solution
         res = pdhg_general_lp(glp, tol=settings.barrierTol,
                               max_iters=settings.firstOrderMaxIters,
-                              x0=x0, y0=y0)
+                              x0=x0, y0=y0, mode=settings.fomMode)
         out = Output(x=res.x, y=res.y, x_bar=res.x, obj_val=res.obj_val,
                      runtime=res.runtime, bar_iter_count=res.iter_count,
                      rcost=glp.get_dual_slack(res.y), status=res.status)
