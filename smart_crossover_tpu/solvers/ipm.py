@@ -245,8 +245,13 @@ def ipm_solve(A, b, c, l, u,
     if full_state:
         # continue a centered interior iterate: keep its geometry, only
         # enforce strict interiority (an f32 device iterate can sit at
-        # ~1e-8 from a bound, which is fine; exact zeros are not)
+        # ~1e-8 from a bound, which is fine; exact zeros are not).  Clamp
+        # INTO the box first — an iterate slightly outside a bound would
+        # otherwise initialise p + q > u - l, a violation the ratio tests
+        # never repair
         x0 = np.asarray(x0, dtype=np.float64)
+        x0 = np.clip(x0, np.where(has_l, l + 1e-12, -np.inf),
+                     np.where(has_u, u - 1e-12, np.inf))
         p = np.where(has_l, np.maximum(x0 - l, 1e-12), 1.0)
         q = np.where(has_u, np.maximum(u - x0, 1e-12), 1.0)
         x = np.where(free, x0, x)

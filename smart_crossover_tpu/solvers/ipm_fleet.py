@@ -95,8 +95,13 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
     l_full = l.copy()   # pre-compaction copy; recovers x = l + p at exit
 
     floor = 1e-12
-    p = np.maximum(np.asarray(x0, np.float64) - l, floor)
-    q = np.maximum(u - np.asarray(x0, np.float64), floor)
+    # clamp the handoff INTO the box first: an f32 device iterate can sit
+    # ~1e-7 outside a bound, and flooring p and q independently would then
+    # bake in p + q > u - l — a bound violation no later step removes
+    # (the ratio test keeps both slacks positive, not their sum fixed)
+    x0c = np.clip(np.asarray(x0, np.float64), l + floor, u - floor)
+    p = np.maximum(x0c - l, floor)
+    q = np.maximum(u - x0c, floor)
     zl = np.maximum(np.asarray(zl0, np.float64), floor)
     zu = np.maximum(np.asarray(zu0, np.float64), floor)
     y = np.asarray(y0, np.float64).copy()

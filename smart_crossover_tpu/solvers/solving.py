@@ -574,14 +574,29 @@ def solve_ot(ot: OptTransport,
         )
 
         t0 = time.perf_counter()
-        X, obj, push, piv, opt, _ = batched_tnet_exact_device(
+        X, obj, push, piv, opt, Bm = batched_tnet_exact_device(
             ot.s[None], ot.d[None], ot.M[None],
             reg=settings.sinkhornReg, sinkhorn_iters=1000,
             engine=settings.deviceSimplexEngine)
-        rt = datetime.timedelta(seconds=time.perf_counter() - t0)
         status = "OPTIMAL" if bool(_np.asarray(opt)[0]) else "ITERATION_LIMIT"
+        # the device pivots in backend precision (f32 on TPU); the
+        # returned VERTEX is recomputed exactly on the host from the
+        # spanning-tree basis and certified under the reference test
+        from smart_crossover_tpu.network_methods.certify import (
+            certify_ot_basis,
+        )
+
+        cert = certify_ot_basis(_np.asarray(Bm[0]), ot.s, ot.d, ot.M)
+        rt = datetime.timedelta(seconds=time.perf_counter() - t0)
+        if cert.ok:
+            return Output(x=cert.x.ravel(), obj_val=cert.obj_val,
+                          runtime=rt,
+                          iter_count=int(piv[0]) + int(push[0]),
+                          status=status)
         return Output(x=_np.asarray(X[0], dtype=_np.float64).ravel(),
                       obj_val=float(obj[0]), runtime=rt,
-                      iter_count=int(piv[0]) + int(push[0]), status=status)
+                      iter_count=int(piv[0]) + int(push[0]),
+                      status="NEAR_OPTIMAL" if status == "OPTIMAL"
+                      else status)
     return solve_mcf(ot.to_MCF(), solver=solver, method=method,
                      settings=settings, warm_start_basis=warm_start_basis)
