@@ -178,3 +178,100 @@ def pad_lp_for_pallas(A, b, c, l, u, is_eq, x0, y0):
             jnp.concatenate([jnp.asarray(is_eq),
                              jnp.ones(mp - m, dtype=bool)]),
             pad_v(x0, np_), pad_v(y0, mp), m, n)
+
+
+def _halpern_chunk_kernel(A_ref, b_ref, c_ref, l_ref, u_ref, eq_ref,
+                          x_ref, y_ref, Ax_ref, xa_ref, ya_ref, Axa_ref,
+                          scal_ref,
+                          x_out, y_out, Ax_out, scal_out, *, chunk):
+    """VMEM-resident chunk of restarted reflected-Halpern PDHG iterations
+    (solvers/pdhg.py::_pdhg_core_halpern's inner scan).  Fixed step sizes
+    make this kernel simpler than the adaptive one: no trial/acceptance
+    logic, no running averages — the anchor pair rides along instead."""
+    A = A_ref[...]
+    b = b_ref[...]
+    c = c_ref[...]
+    l = l_ref[...]
+    u = u_ref[...]
+    eq = eq_ref[...]
+    xa = xa_ref[...]
+    ya = ya_ref[...]
+    Axa = Axa_ref[...]
+    omega = scal_ref[0, 0]
+    step = scal_ref[0, 2]
+    dt = A.dtype
+    tau = step / omega
+    sigma = step * omega
+
+    def atv(y_row):
+        return jax.lax.dot_general(y_row, A, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=dt)
+
+    def av(x_row):
+        return jax.lax.dot_general(x_row, A, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=dt)
+
+    def body(_, carry):
+        x, y, Ax, k = carry
+        x_t = jnp.clip(x - tau * (c - atv(y)), l, u)
+        Ax_t = av(x_t)
+        y_t0 = y + sigma * (b - (2.0 * Ax_t - Ax))
+        y_t = jnp.where(eq > 0, y_t0, jnp.minimum(y_t0, 0.0))
+        lam = (k + 1.0) / (k + 2.0)
+        x_n = lam * (2.0 * x_t - x) + (1.0 - lam) * xa
+        y_n = lam * (2.0 * y_t - y) + (1.0 - lam) * ya
+        Ax_n = lam * (2.0 * Ax_t - Ax) + (1.0 - lam) * Axa
+        return (x_n, y_n, Ax_n, k + 1.0)
+
+    x, y, Ax, k = jax.lax.fori_loop(
+        0, chunk, body,
+        (x_ref[...], y_ref[...], Ax_ref[...], scal_ref[0, 1]))
+    x_out[...] = x
+    y_out[...] = y
+    Ax_out[...] = Ax
+    scal_out[0, 0] = omega
+    scal_out[0, 1] = k
+    scal_out[0, 2] = step
+
+
+@lru_cache(maxsize=32)
+def get_halpern_chunk_fn(m: int, n: int, dtype_name: str, chunk: int,
+                         interpret: bool):
+    """Cached VMEM-resident Halpern chunk for (m, n, dtype): runs ``chunk``
+    reflected-Halpern iterations per call with A read from HBM once.
+
+    Signature: fn(A, b, c, l, u, eq_mask, x, y, Ax, xa, ya, Axa,
+                  omega, k, step) -> (x, y, Ax, k); 1-D vectors."""
+    dt = jnp.dtype(dtype_name)
+    kernel = partial(_halpern_chunk_kernel, chunk=chunk)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[vspec] * 12 + [sspec],
+        out_specs=(vspec, vspec, vspec, sspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), dt),   # x
+            jax.ShapeDtypeStruct((1, m), dt),   # y
+            jax.ShapeDtypeStruct((1, m), dt),   # Ax
+            jax.ShapeDtypeStruct((1, 4), dt),   # scalars
+        ),
+        interpret=interpret,
+    )
+
+    def fn(A, b, c, l, u, eq, x, y, Ax, xa, ya, Axa, omega, k, step):
+        scal = jnp.zeros((1, 4), dt)
+        scal = scal.at[0, 0].set(jnp.asarray(omega, dt))
+        scal = scal.at[0, 1].set(jnp.asarray(k, dt))
+        scal = scal.at[0, 2].set(jnp.asarray(step, dt))
+        xo, yo, Axo, so = call(
+            A,
+            jnp.reshape(b, (1, m)), jnp.reshape(c, (1, n)),
+            jnp.reshape(l, (1, n)), jnp.reshape(u, (1, n)),
+            jnp.reshape(jnp.asarray(eq, dt), (1, m)),
+            jnp.reshape(x, (1, n)), jnp.reshape(y, (1, m)),
+            jnp.reshape(Ax, (1, m)), jnp.reshape(xa, (1, n)),
+            jnp.reshape(ya, (1, m)), jnp.reshape(Axa, (1, m)), scal)
+        return xo[0], yo[0], Axo[0], so[0, 1]
+
+    return fn

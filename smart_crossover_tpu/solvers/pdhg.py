@@ -238,7 +238,8 @@ def _pdhg_core(A, b, c, l, u, is_eq, opnorm,
 
 def _pdhg_core_halpern(A, b, c, l, u, is_eq, opnorm, x0, y0,
                        max_iters: int, check_every: int,
-                       restart_period: int, tol: float):
+                       restart_period: int, tol: float,
+                       chunk_runner=None):
     """Restarted reflected-Halpern PDHG (r2HPDHG, Lu & Yang 2024; the
     cuPDLP+ acceleration).  One inner step is
 
@@ -302,10 +303,17 @@ def _pdhg_core_halpern(A, b, c, l, u, is_eq, opnorm, x0, y0,
     def outer_body(state):
         (x, y, Ax, xa, ya, Axa, cnt, it, x_lr, y_lr, score_lr, score_prev,
          best_x, best_y, best_score, omega, done) = state
-        (x, y, Ax, xa, ya, Axa, _, _), _ = jax.lax.scan(
-            one_iter, (x, y, Ax, xa, ya, Axa, omega,
-                       jnp.asarray(cnt, x.dtype)),
-            None, length=check_every)
+        if chunk_runner is not None:
+            # VMEM-resident Pallas chunk (ops/pdhg_pallas.py): A is read
+            # from HBM once per chunk instead of twice per iteration
+            x, y, Ax, _ = chunk_runner(A, b, c, l, u, is_eq, x, y, Ax,
+                                       xa, ya, Axa, omega,
+                                       jnp.asarray(cnt, x.dtype), step)
+        else:
+            (x, y, Ax, xa, ya, Axa, _, _), _ = jax.lax.scan(
+                one_iter, (x, y, Ax, xa, ya, Axa, omega,
+                           jnp.asarray(cnt, x.dtype)),
+                None, length=check_every)
         cnt = cnt + check_every
         # the restart/output candidate is T(z), the PDHG image of the
         # Halpern iterate (r2HPDHG outputs T(z_k)): the reflected sequence
@@ -724,8 +732,6 @@ def pdhg_solve(A, b, c, l, u, sense=None,
         y0 = jnp.asarray(y0, dtype=dtype)
 
     check_every = min(64, restart_period)
-    if mode == "halpern":
-        use_pallas = False      # Halpern chunks are XLA-only (for now)
     if use_pallas is None:
         from smart_crossover_tpu.config import on_tpu
         from smart_crossover_tpu.ops.pdhg_pallas import pdhg_pallas_ok
@@ -740,13 +746,28 @@ def pdhg_solve(A, b, c, l, u, sense=None,
 
         (Ap, bp, cp, lp, up, eqp, x0p, y0p, _, _) = pad_lp_for_pallas(
             A, b, c, l, u, is_eq, x0, y0)
-        runner = get_pdhg_chunk_fn(Ap.shape[0], Ap.shape[1],
-                                   str(jnp.dtype(dtype)), check_every,
-                                   interpret_pallas())
-        x, y, iters, done = _pdhg_core(
-            Ap, bp, cp, lp, up, eqp, opnorm, x0p, y0p,
-            max_iters=max_iters, check_every=check_every,
-            restart_period=restart_period, tol=tol, chunk_runner=runner)
+        if mode == "halpern":
+            from smart_crossover_tpu.ops.pdhg_pallas import (
+                get_halpern_chunk_fn,
+            )
+
+            runner = get_halpern_chunk_fn(Ap.shape[0], Ap.shape[1],
+                                          str(jnp.dtype(dtype)),
+                                          check_every, interpret_pallas())
+            x, y, iters, done = _pdhg_core_halpern(
+                Ap, bp, cp, lp, up, eqp, opnorm, x0p, y0p,
+                max_iters=max_iters, check_every=check_every,
+                restart_period=restart_period, tol=tol,
+                chunk_runner=runner)
+        else:
+            runner = get_pdhg_chunk_fn(Ap.shape[0], Ap.shape[1],
+                                       str(jnp.dtype(dtype)), check_every,
+                                       interpret_pallas())
+            x, y, iters, done = _pdhg_core(
+                Ap, bp, cp, lp, up, eqp, opnorm, x0p, y0p,
+                max_iters=max_iters, check_every=check_every,
+                restart_period=restart_period, tol=tol,
+                chunk_runner=runner)
         x = x[:n]
         y = y[:m]
     else:

@@ -144,3 +144,26 @@ def test_pdhg_pallas_gate():
     assert not pdhg_pallas_ok(1024, 2048)   # 8 MB A: measured VMEM OOM
     assert not pdhg_pallas_ok(100, 2048)    # sublane misaligned
     assert not pdhg_pallas_ok(512, 100)     # lane misaligned
+
+
+def test_halpern_pallas_chunk_matches_xla(rng):
+    """use_pallas halpern chunks (interpret mode on CPU) must reach the
+    same optimum as the XLA halpern core."""
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.solvers.pdhg import pdhg_solve
+
+    m, n = 16, 128
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    b = A @ rng.uniform(0.2, 0.8, n)
+    c = A.T @ rng.standard_normal(m) + np.abs(rng.standard_normal(n)) + 0.05
+    l = np.zeros(n)
+    u = np.full(n, 2.0)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 2)] * n, method="highs")
+    r_xla = pdhg_solve(A, b, c, l, u, tol=1e-7, max_iters=30_000,
+                       mode="halpern", use_pallas=False, polish=False)
+    r_pls = pdhg_solve(A, b, c, l, u, tol=1e-7, max_iters=30_000,
+                       mode="halpern", use_pallas=True, polish=False)
+    assert r_xla.status == "OPTIMAL" and r_pls.status == "OPTIMAL"
+    assert abs(r_pls.obj_val - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+    assert abs(r_xla.obj_val - r_pls.obj_val) < 1e-6 * (1 + abs(ref.fun))
