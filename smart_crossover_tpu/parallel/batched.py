@@ -93,18 +93,25 @@ def batched_tnet(s, d, M, reg: float = 0.02, sinkhorn_iters: int = 200,
 
 def batched_tnet_exact(s, d, M, reg: float = 0.005,
                        sinkhorn_iters: int = 1000, mesh=None,
-                       engine: str = "auto"):
+                       engine: str = "auto",
+                       max_pivots: int | None = None):
     """Batched crossover to EXACT optimal vertices.
 
     ``engine='host'``: device does the heavy approximate work (the batched
     TNET pipeline); the host's native network simplex then cleans each
     instance up from the identified tree basis — usually a handful of
-    pivots.  ``engine='device'``: the whole solve, pivots included, stays
-    on device (one-hot-matmul transportation simplex) — measured faster
-    than the host cleanup on the v5e up to ~512x512 (BENCH.md); any
-    instance the device pass leaves non-optimal (pivot cap) falls back to
-    the host cleanup.  ``engine='auto'`` picks 'device' on TPU for
-    S, D <= 512 without a mesh, else 'host'.
+    pivots.  ``engine='device'`` (or a specific device pivot engine:
+    'parent', 'anc', 'mask'): the whole solve, pivots included, stays on
+    device — measured faster than the host cleanup on the v5e up to
+    ~512x512 with 'parent', with 'anc' the 512^2..1024^2 engine
+    (BENCH.md).  Every device result is CERTIFIED on the host (exact f64
+    vertex + duals recomputed from the returned spanning-tree basis,
+    reference acceptance test); instances that fail certification — e.g.
+    f32 potential noise at 1024^2 depth leaves reduced costs at ~-4e-6 —
+    are repaired by a warm-started native network simplex.  The returned
+    vertices are therefore exact f64 regardless of device precision.
+    ``engine='auto'`` picks 'device' on TPU for S, D <= 512 without a
+    mesh, else 'host'.
 
     Returns (X, obj, cleanup_pivots, optimal_mask) as numpy arrays.
     """
@@ -119,24 +126,48 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
         Bq, Sq, Dq = jnp.shape(M)
         engine = ("device" if (mesh is None and on_tpu()
                                and max(Sq, Dq) <= 512) else "host")
-    if engine == "device" and mesh is None:
-        Xd, obj_d, push, piv, opt, _ = batched_tnet_exact_device(
-            s, d, M, reg=reg, sinkhorn_iters=sinkhorn_iters)
-        Xn = np.asarray(Xd, dtype=np.float64)
-        obj_n = np.asarray(obj_d, dtype=np.float64)
+    if engine in ("device", "parent", "anc", "mask") and mesh is None:
+        from smart_crossover_tpu.network_methods.certify import (
+            certify_ot_basis_batch,
+        )
+
+        dev_engine = "parent" if engine == "device" else engine
+        if max_pivots is None:
+            # pivot counts from warm starts grow ~linearly in V; 5k is
+            # ample through 512^2 but caps out around 1024^2
+            Sq, Dq = np.shape(M)[1:]
+            max_pivots = max(5000, 8 * (Sq + Dq))
+        Xd, obj_d, push, piv, opt, Bm = batched_tnet_exact_device(
+            s, d, M, reg=reg, sinkhorn_iters=sinkhorn_iters,
+            engine=dev_engine, max_pivots=max_pivots)
         piv_n = np.asarray(piv, dtype=np.int64)
         opt_n = np.asarray(opt, dtype=bool)
-        if opt_n.all():
-            return Xn, obj_n, piv_n, opt_n
-        # host-clean the stragglers only
-        idx = np.flatnonzero(~opt_n)
-        sub = batched_tnet_exact(
-            np.asarray(s)[idx], np.asarray(d)[idx], np.asarray(M)[idx],
-            reg=reg, sinkhorn_iters=sinkhorn_iters, engine="host")
-        Xn[idx], obj_n[idx] = sub[0], sub[1]
-        piv_n[idx] += sub[2]
-        opt_n[idx] = sub[3]
-        return Xn, obj_n, piv_n, opt_n
+        s64 = np.asarray(s, dtype=np.float64)
+        d64 = np.asarray(d, dtype=np.float64)
+        d64 = d64 * (s64.sum(1) / d64.sum(1))[:, None]  # f32 mass drift
+        M64 = np.asarray(M, dtype=np.float64)
+        certs = certify_ot_basis_batch(np.asarray(Bm), s64, d64, M64)
+        Xn = np.stack([c.x for c in certs])
+        obj_n = np.array([c.obj_val for c in certs])
+        ok = opt_n & np.array([c.ok for c in certs])
+        if ok.all():
+            return Xn, obj_n, piv_n, ok
+        # certification failures / pivot-capped instances: warm-start the
+        # native core from the DEVICE basis (usually a handful of pivots)
+        Bm_n = np.asarray(Bm)
+        S, D = M64.shape[1:]
+        for i in np.flatnonzero(~ok):
+            ot = OptTransport(s=s64[i], d=d64[i], M=M64[i])
+            mcf = ot.to_MCF()
+            vbasis = np.where(Bm_n[i].ravel(), 0, -1).astype(np.int32)
+            cbasis = np.concatenate([-np.ones(mcf.m - 1, dtype=np.int32),
+                                     [0]])
+            res = network_simplex(mcf, warm_basis=Basis(vbasis, cbasis))
+            Xn[i] = res.x.reshape(S, D)
+            obj_n[i] = res.obj_val
+            piv_n[i] += res.iter_count
+            ok[i] = res.status == "OPTIMAL"
+        return Xn, obj_n, piv_n, ok
 
     if mesh is not None:
         X, push_iters, obj = sharded_batched_tnet(
