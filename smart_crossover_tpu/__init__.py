@@ -49,4 +49,12 @@ def __getattr__(name):
         from smart_crossover_tpu.solvers import solving as _sv
 
         return getattr(_sv, name)
+    if name in ("batched_tnet_exact", "batched_lp_crossover"):
+        from smart_crossover_tpu import parallel as _pl
+
+        return getattr(_pl, name)
+    if name == "ipm_fleet":
+        from smart_crossover_tpu.solvers.ipm_fleet import ipm_fleet
+
+        return ipm_fleet
     raise AttributeError(f"module 'smart_crossover_tpu' has no attribute {name!r}")
