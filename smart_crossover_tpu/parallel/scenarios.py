@@ -66,3 +66,68 @@ def mcf_scenario_sweep(mcf: MinCostFlow,
             basis = res.basis
     return {"x": x, "obj": obj, "pivots": pivots, "status": statuses,
             "runtime": datetime.timedelta(seconds=time.perf_counter() - t0)}
+
+
+def lp_scenario_sweep(A, b, c, l, u,
+                      b_scenarios: np.ndarray | None = None,
+                      c_scenarios: np.ndarray | None = None,
+                      tol: float = 1e-8, exact_vertices: bool = False):
+    """Solve one LP under a batch of RHS and/or cost scenarios.
+
+    The fleet analog of ``mcf_scenario_sweep`` for general dense LPs:
+    every scenario shares A, so the whole sweep runs as ONE fleet barrier
+    solve (device batched IPM + f64 endgame, solvers/ipm_fleet.py); with
+    ``exact_vertices=True`` each scenario is additionally crossed over to
+    an exact optimal vertex (batched_lp_crossover's threaded simplex).
+
+    Args:
+        A: (m, n) dense; b: (m,); c, l, u: (n,) base data.
+        b_scenarios: optional (K, m) RHS scenarios.
+        c_scenarios: optional (K, n) cost scenarios.
+
+    Returns:
+        dict with x (K, n), obj (K,), status (list), runtime; plus
+        pivots/optimal when ``exact_vertices``.
+    """
+    t0 = time.perf_counter()
+    A = np.asarray(A, dtype=np.float64)
+    m, n = A.shape
+    K = None
+    if b_scenarios is not None:
+        b_scenarios = np.asarray(b_scenarios, dtype=np.float64)
+        K = b_scenarios.shape[0]
+    if c_scenarios is not None:
+        c_scenarios = np.asarray(c_scenarios, dtype=np.float64)
+        K = c_scenarios.shape[0] if K is None else K
+        if b_scenarios is not None and c_scenarios.shape[0] != K:
+            raise ValueError("scenario batch sizes disagree")
+    if K is None:
+        raise ValueError("provide b_scenarios and/or c_scenarios")
+
+    Ab = np.broadcast_to(A, (K, m, n))
+    bb = (b_scenarios if b_scenarios is not None
+          else np.broadcast_to(np.asarray(b, np.float64), (K, m)))
+    cb = (c_scenarios if c_scenarios is not None
+          else np.broadcast_to(np.asarray(c, np.float64), (K, n)))
+    lb = np.broadcast_to(np.asarray(l, np.float64), (K, n))
+    ub = np.broadcast_to(np.asarray(u, np.float64), (K, n))
+
+    if exact_vertices:
+        from smart_crossover_tpu.parallel.batched_lp import (
+            batched_lp_crossover,
+        )
+
+        res = batched_lp_crossover(Ab, bb, cb, lb, ub, tol=tol,
+                                   warm_engine="ipm_refined")
+        return {"x": res["x"], "obj": res["obj"],
+                "pivots": res["pivots"], "optimal": res["optimal"],
+                "status": ["OPTIMAL" if o else "NOT_OPTIMAL"
+                           for o in res["optimal"]],
+                "runtime": datetime.timedelta(
+                    seconds=time.perf_counter() - t0)}
+
+    from smart_crossover_tpu.solvers.ipm_fleet import ipm_fleet
+
+    fleet = ipm_fleet(Ab, bb, cb, lb, ub, tol=tol)
+    return {"x": fleet.x, "obj": fleet.obj, "status": fleet.status,
+            "runtime": datetime.timedelta(seconds=time.perf_counter() - t0)}
