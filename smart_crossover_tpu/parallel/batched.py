@@ -124,8 +124,14 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
         from smart_crossover_tpu.config import on_tpu
 
         Bq, Sq, Dq = jnp.shape(M)
-        engine = ("device" if (mesh is None and on_tpu()
-                               and max(Sq, Dq) <= 512) else "host")
+        # parent (one-hot lifting) wins at small sizes where its MXU
+        # matmuls are cheap; the ancestor-matrix engine takes over once
+        # the per-pivot (V,V) lifting rounds dominate (>= 256^2, and the
+        # only engine worth running at 1024^2 — BENCH.md round 3)
+        if mesh is None and on_tpu() and max(Sq, Dq) <= 1024:
+            engine = "parent" if max(Sq, Dq) < 256 else "anc"
+        else:
+            engine = "host"
     if engine in ("device", "parent", "anc", "mask") and mesh is None:
         from smart_crossover_tpu.network_methods.certify import (
             certify_ot_basis_batch,
