@@ -82,6 +82,13 @@ def _row(name, t_lo, t_hi, work_ratio, flops_lo, bytes_lo, on_tpu, note=""):
         pct_b = 100.0 * gbs * 1e9 / V5E_HBM
         bound = "compute" if pct_c >= pct_b else "HBM"
         pct = round(max(pct_c, pct_b), 1)
+        if pct_b > 110.0 and bound == "HBM":
+            # Achieved bandwidth exceeds the HBM-stream model: the hot
+            # operand is VMEM-resident (XLA pins it across the scan), so
+            # the analytic min-bytes bound does not bind.  Report against
+            # the compute peak instead of printing an impossible >100%.
+            bound = "VMEM-resident (HBM model void)"
+            pct = round(pct_c, 1)
     else:
         bound, pct = "n/a", None
     base.update({"marginal_s_lo": round(dt / (work_ratio - 1.0), 4),
