@@ -10,7 +10,8 @@ the data directory, run
 
 with resume support (already-recorded instances are skipped, like the
 reference's find_solved_problems) and the same tolerances
-(BARRIER_TOL=1e-10 analog kept configurable; default 1e-8).
+(BARRIER_TOL=1e-10 pinned as the default, matching the reference protocol
+at reference scripts/run_perturb_crossover.py:56; configurable).
 """
 from __future__ import annotations
 
@@ -25,7 +26,7 @@ from smart_crossover_tpu.solvers.solving import solve_lp
 
 
 def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
-         barrier_tol: float = 1e-8, optimality_tol: float = 1e-6,
+         barrier_tol: float = 1e-10, optimality_tol: float = 1e-6,
          max_instances: int | None = None):
     store = ResultStore(results)
     paths = sorted(Path(data_dir).glob("*.mps")) \
@@ -68,7 +69,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default="data/lp")
     ap.add_argument("--results", default="results/perturb.jsonl")
-    ap.add_argument("--barrier-tol", type=float, default=1e-8)
+    ap.add_argument("--barrier-tol", type=float, default=1e-10)
     ap.add_argument("--optimality-tol", type=float, default=1e-6)
     ap.add_argument("--max-instances", type=int, default=None)
     a = ap.parse_args()

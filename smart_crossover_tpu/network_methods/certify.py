@@ -104,7 +104,7 @@ def certify_ot_basis(Bm, s, d, M,
 
 def certify_ot_basis_batch(Bm, s, d, M, feas_tol: float | None = None,
                            rcost_tol: float | None = None,
-                           threads: int = 1
+                           threads: int | None = 1
                            ) -> list[OTCertificate]:
     """Certify a batch.  Serial by default: each instance is ~1.5 ms of
     GIL-held scipy/numpy, and measured on the 4-vCPU box a thread pool
@@ -119,6 +119,8 @@ def certify_ot_basis_batch(Bm, s, d, M, feas_tol: float | None = None,
     if rcost_tol is not None:
         kw["rcost_tol"] = rcost_tol
     B = np.shape(M)[0]
+    if threads is None:
+        threads = 1
     if threads > 1 and B > 1:
         with cf.ThreadPoolExecutor(max_workers=threads) as pool:
             return list(pool.map(

@@ -71,7 +71,8 @@ def mcf_scenario_sweep(mcf: MinCostFlow,
 def lp_scenario_sweep(A, b, c, l, u,
                       b_scenarios: np.ndarray | None = None,
                       c_scenarios: np.ndarray | None = None,
-                      tol: float = 1e-8, exact_vertices: bool = False):
+                      tol: float = 1e-8, exact_vertices: bool = False,
+                      mesh=None):
     """Solve one LP under a batch of RHS and/or cost scenarios.
 
     The fleet analog of ``mcf_scenario_sweep`` for general dense LPs:
@@ -84,6 +85,8 @@ def lp_scenario_sweep(A, b, c, l, u,
         A: (m, n) dense; b: (m,); c, l, u: (n,) base data.
         b_scenarios: optional (K, m) RHS scenarios.
         c_scenarios: optional (K, n) cost scenarios.
+        mesh: optional jax Mesh with a 'batch' axis — the fleet device
+            stage is sharded over it (K divisible by the batch size).
 
     Returns:
         dict with x (K, n), obj (K,), status (list), runtime; plus
@@ -128,6 +131,6 @@ def lp_scenario_sweep(A, b, c, l, u,
 
     from smart_crossover_tpu.solvers.ipm_fleet import ipm_fleet
 
-    fleet = ipm_fleet(Ab, bb, cb, lb, ub, tol=tol)
+    fleet = ipm_fleet(Ab, bb, cb, lb, ub, tol=tol, mesh=mesh)
     return {"x": fleet.x, "obj": fleet.obj, "status": fleet.status,
             "runtime": datetime.timedelta(seconds=time.perf_counter() - t0)}

@@ -288,7 +288,7 @@ class FleetResult:
 def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
               device_tol: float = 1e-5, max_device_iters: int = 60,
               max_refine_iters: int = 30, threads: int | None = None,
-              refine: bool = True) -> FleetResult:
+              refine: bool = True, mesh=None) -> FleetResult:
     """Barrier-solve a fleet of dense equality-form LPs to f64 accuracy.
 
     Args:
@@ -297,6 +297,10 @@ def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
         device_tol: target for the device stage; on an f32 backend
             anything below ~1e-5 just burns iterations.
         refine: set False to skip the host stage (device iterates only).
+        mesh: optional jax Mesh with a 'batch' axis; the device stage is
+            then sharded over it (each device runs its slice of the
+            fleet — embarrassingly parallel, no collectives).  B must be
+            divisible by the mesh's batch-axis size.
 
     Returns:
         FleetResult; ``status[i] == 'OPTIMAL'`` means instance i passed
@@ -316,10 +320,23 @@ def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
     # at mu ~ 1e-4 centered; driving f32 deeper leaves ~1e-4 primal
     # residuals the f64 endgame then pays 20+ iterations to unwind
     mu_exit = 0.0 if dev_dtype == np.float64 else 1e-4
-    dev = ipm_dense_batched(
-        A.astype(dev_dtype), b.astype(dev_dtype), c.astype(dev_dtype),
-        l.astype(dev_dtype), u.astype(dev_dtype),
-        tol=device_tol, max_iters=max_device_iters, mu_exit=mu_exit)
+    dev_args = (A.astype(dev_dtype), b.astype(dev_dtype),
+                c.astype(dev_dtype), l.astype(dev_dtype),
+                u.astype(dev_dtype))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("batch"))
+        fn = jax.jit(
+            lambda A_, b_, c_, l_, u_: ipm_dense_batched(
+                A_, b_, c_, l_, u_, tol=device_tol,
+                max_iters=max_device_iters, mu_exit=mu_exit),
+            in_shardings=(shard,) * 5, out_shardings=shard)
+        dev = fn(*(jax.device_put(a, shard) for a in dev_args))
+    else:
+        dev = ipm_dense_batched(
+            *dev_args,
+            tol=device_tol, max_iters=max_device_iters, mu_exit=mu_exit)
     x_dev = np.asarray(dev["x"], dtype=np.float64)
     y_dev = np.asarray(dev["y"], dtype=np.float64)
     zl_dev = np.asarray(dev["zl"], dtype=np.float64)
