@@ -299,6 +299,23 @@ def ipm_solve(A, b, c, l, u,
     A_sq = A.copy()
     A_sq.data = A_sq.data ** 2   # diag(A D A') = A_sq @ d, without forming M
 
+    # cached-symbolic factorizer for the sparse normal equations: M's
+    # pattern is iteration-invariant, so ordering/bandwidth analysis and
+    # scatter maps are computed once (solvers/ne_factor.py)
+    ne_fact = None
+
+    def _factor_ne(M, reg):
+        nonlocal ne_fact
+        if sp.issparse(M) and M.shape[0] > _DENSE_NE_MAX_M:
+            if ne_fact is None:
+                from smart_crossover_tpu.solvers.ne_factor import (
+                    NEFactorizer,
+                )
+
+                ne_fact = NEFactorizer(M)
+            return ne_fact.factor(M, reg)
+        return None
+
     status = "ITERATION_LIMIT"
     it = 0
     best = None
@@ -365,6 +382,32 @@ def ipm_solve(A, b, c, l, u,
         dinv = (np.where(has_l, zl / p, 0.0)
                 + np.where(has_u, zu / q, 0.0))
 
+        # Endgame scaling cap for the DIRECT/bordered paths, mirroring the
+        # tree-PCG path's d_cap: once mu < 1e-6 the raw spread in d reaches
+        # ~1e14 and the back-substitution dx = d (A'dy - rhs) cancels
+        # catastrophically on the large-d components — observed as primal
+        # drift 1e-12 -> 3e-8 over the last 10 iterations at m=30k.  The
+        # cap is a primal proximal regularisation (Saunders); the KKT-level
+        # refinement loop absorbs the model error it introduces.
+        d_direct_cap = 1e10 if mu_prev < 1e-6 else 1e14
+
+        # Endgame back-substitution in 80-bit: dx = d (A'dy - rhs_x) with
+        # d ~ 1e10 amplifies the f64 rounding of (A'dy - rhs_x) to an
+        # absolute step error ~ d * eps ~ 1e-6 — the pinf floor observed
+        # at m=30k (1e-12 -> 1e-8 drift).  longdouble accumulation moves
+        # the floor down by ~2^11 for the cost of one extended SpMV per
+        # back-solve (~ms), the same trick as _ext_residual.
+        if mu_prev < 1e-6:
+            if rows_rep_T is None:
+                rows_rep = np.diff(A.indptr) > 0
+                rows_rep_T = np.diff(AT.indptr) > 0
+
+            def _atd(dy_, rhs_x_, _rT=rows_rep_T):
+                return -_ext_residual(AT, _rT, dy_, rhs_x_)
+        else:
+            def _atd(dy_, rhs_x_):
+                return AT @ dy_ - rhs_x_
+
         if use_augmented:
             # Bordered normal equations: eliminate the non-free variables
             # into M = A_N D_N A_N' and keep the (few) free columns as a
@@ -372,7 +415,7 @@ def ipm_solve(A, b, c, l, u,
             #   [[M, A_F], [A_F', -delta I]] [dy; dxF] = [rhs1; rhs_F]
             nonfree = ~free
             d_nf = np.where(nonfree, 1.0 / np.maximum(dinv, 1e-14), 0.0)
-            d_nf = np.minimum(d_nf, 1e14)
+            d_nf = np.minimum(d_nf, d_direct_cap)
             if device_ne is not None and mu > 1e-6:
                 M = device_ne.form(d_nf)        # f32 MXU GEMM, dense M
             else:
@@ -387,8 +430,15 @@ def ipm_solve(A, b, c, l, u,
             # LU of the whole bordered matrix when M alone is (numerically)
             # singular, e.g. A_N rank-deficient without the free columns.
             try:
-                solveM = _factor_spd(
-                    M, reg, force_dense=(f >= 64 and m <= _DENSE_NE_MAX_M))
+                # factorizer path: reg=0 — it applies tiny RELATIVE shifts
+                # internally; a diag.max()-scaled scalar shift would cap the
+                # KKT refinement contraction at reg/lambda_min (~0.85/pass
+                # observed) and stall pinf at ~1e-8
+                solveM = _factor_ne(M, 0.0)
+                if solveM is None:
+                    solveM = _factor_spd(
+                        M, reg,
+                        force_dense=(f >= 64 and m <= _DENSE_NE_MAX_M))
                 AFd = A_F.toarray() if f else np.zeros((m, 0))
                 Z = solveM(AFd) if f else np.zeros((m, 0))
                 if f:
@@ -409,7 +459,7 @@ def ipm_solve(A, b, c, l, u,
                                            rhs_x[free_idx] - AFd.T @ dy,
                                            check_finite=False)
                         dy = dy - Z @ dxF
-                    dx = d_nf * (AT @ dy - rhs_x)
+                    dx = d_nf * _atd(dy, rhs_x)
                     if f:
                         dx[free_idx] = dxF
                     return dx, dy
@@ -424,7 +474,7 @@ def ipm_solve(A, b, c, l, u,
                     sol = lu.solve(np.concatenate([rhs1, rhs2]))
                     dy = sol[:m]
                     dxF = sol[m:]
-                    dx = d_nf * (AT @ dy - rhs_x)
+                    dx = d_nf * _atd(dy, rhs_x)
                     dx[free_idx] = dxF
                     return dx, dy
         else:
@@ -436,7 +486,8 @@ def ipm_solve(A, b, c, l, u,
             # attainable accuracy floor.  The direct path keeps the looser
             # cap — the factorisation absorbs the spread.
             d = np.minimum(d, d_cap if (net_struct is not None
-                                        and not pcg_failed) else 1e14)
+                                        and not pcg_failed)
+                           else d_direct_cap)
             solveM = None
             if net_struct is not None and not pcg_failed:
                 from smart_crossover_tpu.solvers.laplacian import (
@@ -479,12 +530,17 @@ def ipm_solve(A, b, c, l, u,
                 else:
                     ADAt = _scaled(A, d) @ AT
                 reg = 1e-12 * (1.0 + ADAt.diagonal().max())
+                reg_eff = reg
                 try:
-                    base_solve = _factor_spd(ADAt, reg)
+                    base_solve = _factor_ne(ADAt, 0.0)
+                    if base_solve is None:
+                        base_solve = _factor_spd(ADAt, reg)
+                    else:
+                        reg_eff = 0.0   # factorizer shifts are relative/tiny
                 except RuntimeError:
                     base_solve = _factor_spd(ADAt, 1e-6)
 
-                def solveM(rhs_y, _s=base_solve, _M=ADAt, _reg=reg):
+                def solveM(rhs_y, _s=base_solve, _M=ADAt, _reg=reg_eff):
                     # one step of f64 iterative refinement: closes most of
                     # the conditioning gap on banded/staircase instances
                     # (STATUS.md #6, VERDICT.md item 8) for one extra
@@ -502,7 +558,7 @@ def ipm_solve(A, b, c, l, u,
             def kkt_solve(rhs_x, rp):
                 rhs_y = rp + A @ (d * rhs_x)
                 dy = solveM(rhs_y)
-                dx = d * (AT @ dy - rhs_x)
+                dx = d * _atd(dy, rhs_x)
                 if iterative_ne:
                     # KKT-level refinement: the NE rhs mixes components up
                     # to ~1e6x the primal scale, so even a tight PCG solve
@@ -519,7 +575,7 @@ def ipm_solve(A, b, c, l, u,
                                   + 1e-4 * np.linalg.norm(rp)):
                             break
                         dy_e = solveM(rp_err)
-                        dx_e = d * (AT @ dy_e)
+                        dx_e = d * _atd(dy_e, 0.0 * rhs_x)
                         if np.linalg.norm(rp_err - A @ dx_e) >= rn:
                             break   # no longer improving (f64 floor)
                         dx = dx + dx_e
@@ -543,13 +599,17 @@ def ipm_solve(A, b, c, l, u,
 
             def kkt_solve(rhs_x, rp, _inner=kkt_base, _z=zero_rhs):
                 dx, dy = _inner(rhs_x, rp)
-                for _ in range(3):
+                for _pass in range(3):
                     rp_err = rp - A @ dx
                     rn = np.linalg.norm(rp_err)
                     if rn <= 1e-13 * bnorm + 1e-4 * np.linalg.norm(rp):
                         break
                     dx_e, dy_e = _inner(_z, rp_err)
-                    if np.linalg.norm(rp_err - A @ dx_e) >= rn:
+                    rn2 = np.linalg.norm(rp_err - A @ dx_e)
+                    if _IPM_DEBUG:
+                        print(f"   kkt-ref pass={_pass} rn={rn:.3e} "
+                              f"rn2={rn2:.3e} |rp|={np.linalg.norm(rp):.3e}")
+                    if rn2 >= rn:
                         break   # no longer improving (f64 floor)
                     dx = dx + dx_e
                     dy = dy + dy_e
