@@ -2,8 +2,8 @@
 """Perturbation-crossover experiment driver.
 
 Protocol parity with the reference driver
-(reference scripts/run_perturb_crossover.py:44-97): for every ``.mps`` LP in
-the data directory, run
+(reference scripts/run_perturb_crossover.py:44-97): for every LP instance,
+run
 
 * ``ori`` — the in-house barrier + crossover (the vendor-baseline analog);
 * ``ptb`` — the perturbation crossover (run_perturb_algorithm);
@@ -12,11 +12,21 @@ with resume support (already-recorded instances are skipped, like the
 reference's find_solved_problems) and the same tolerances
 (BARRIER_TOL=1e-10 pinned as the default, matching the reference protocol
 at reference scripts/run_perturb_crossover.py:56; configurable).
+
+Instances come either from a directory of .mps/.lp files (the reference's
+presolved optLP set) or from ``--generate optlp``, which builds the
+reference-scale synthetic suite (three structure families, ~30k rows /
+~1e5 cols each; data/lp_gen.py) — this environment has no download path.
+``--oracle`` additionally solves each instance with scipy HiGHS and
+records the reference objective for the exactness column.
 """
 from __future__ import annotations
 
 import argparse
+import time
 from pathlib import Path
+
+import numpy as np
 
 from smart_crossover_tpu.analysis import compare, summarize, table
 from smart_crossover_tpu.data import ResultStore, load_instance
@@ -25,39 +35,85 @@ from smart_crossover_tpu.solvers.settings import SolverSettings
 from smart_crossover_tpu.solvers.solving import solve_lp
 
 
-def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
-         barrier_tol: float = 1e-10, optimality_tol: float = 1e-6,
-         max_instances: int | None = None):
-    store = ResultStore(results)
-    paths = sorted(Path(data_dir).glob("*.mps")) \
-        + sorted(Path(data_dir).glob("*.mps.gz")) \
-        + sorted(Path(data_dir).glob("*.lp")) \
-        + sorted(Path(data_dir).glob("*.lp.gz"))
-    if max_instances:
-        paths = paths[:max_instances]
-    print(f"{len(paths)} LP instances in {data_dir}")
+def _highs_objective(lp, time_limit=3600.0):
+    from scipy.optimize import linprog
 
-    for p in paths:
-        name = p.stem
+    eq = lp.sense == "="
+    bounds = [(li if np.isfinite(li) else None,
+               ui if np.isfinite(ui) else None)
+              for li, ui in zip(lp.l, lp.u)]
+    t0 = time.perf_counter()
+    res = linprog(lp.c, A_ub=lp.A[~eq], b_ub=lp.b[~eq],
+                  A_eq=lp.A[eq], b_eq=lp.b[eq], bounds=bounds,
+                  method="highs", options={"time_limit": time_limit})
+    return (res.fun if res.status == 0 else None,
+            time.perf_counter() - t0, int(res.status))
+
+
+def run_suite(instances, store: ResultStore, barrier_tol: float,
+              optimality_tol: float, oracle: bool = False,
+              oracle_time_limit: float = 3600.0):
+    """instances: iterable of (name, thunk) where thunk() -> GeneralLP."""
+    for name, thunk in instances:
         lp = None
+        if oracle and not store.is_solved(name, "highs"):
+            lp = thunk()
+            obj, rt, st = _highs_objective(lp, oracle_time_limit)
+            store.record(name, "highs", status="OPTIMAL" if st == 0
+                         else f"HIGHS_{st}", runtime=rt, obj_val=obj)
+            print(f"  {name} highs: obj={obj} ({rt:.1f}s)")
         if not store.is_solved(name, "ori"):
-            lp = load_instance(p)
+            if lp is None:
+                lp = thunk()
             out = solve_lp(lp, method="barrier",
                            settings=SolverSettings(barrierTol=barrier_tol,
                                                    crossover="on"))
             store.record(name, "ori", status=out.status, runtime=out.runtime,
                          obj_val=out.obj_val, iter_count=out.iter_count,
                          bar_iter_count=out.bar_iter_count)
-            print(f"  {name} ori: {out.status} obj={out.obj_val}")
+            print(f"  {name} ori: {out.status} obj={out.obj_val} "
+                  f"pivots={out.iter_count} ({out.runtime})")
         if not store.is_solved(name, "ptb"):
             if lp is None:
-                lp = load_instance(p)
+                lp = thunk()
             out = run_perturb_algorithm(lp, barrierTol=barrier_tol,
                                         optimalityTol=optimality_tol)
             store.record(name, "ptb", status=out.status, runtime=out.runtime,
                          obj_val=out.obj_val, iter_count=out.iter_count,
                          bar_iter_count=out.bar_iter_count)
-            print(f"  {name} ptb: {out.status} obj={out.obj_val}")
+            print(f"  {name} ptb: {out.status} obj={out.obj_val} "
+                  f"pivots={out.iter_count} ({out.runtime})")
+
+
+def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
+         barrier_tol: float = 1e-10, optimality_tol: float = 1e-6,
+         max_instances: int | None = None, generate: str | None = None,
+         scale: float = 1.0, num_per_family: int = 4,
+         oracle: bool = False, oracle_time_limit: float = 3600.0):
+    store = ResultStore(results)
+    if generate == "optlp":
+        from smart_crossover_tpu.data.lp_gen import optlp_scale_suite
+
+        lps = optlp_scale_suite(num_per_family=num_per_family,
+                                scale=scale)
+        if max_instances:
+            lps = lps[:max_instances]
+        instances = [(lp.name, (lambda _lp=lp: _lp)) for lp in lps]
+        print(f"{len(instances)} generated optLP-scale instances "
+              f"(scale={scale})")
+    else:
+        paths = sorted(Path(data_dir).glob("*.mps")) \
+            + sorted(Path(data_dir).glob("*.mps.gz")) \
+            + sorted(Path(data_dir).glob("*.lp")) \
+            + sorted(Path(data_dir).glob("*.lp.gz"))
+        if max_instances:
+            paths = paths[:max_instances]
+        instances = [(p.stem, (lambda _p=p: load_instance(_p)))
+                     for p in paths]
+        print(f"{len(instances)} LP instances in {data_dir}")
+
+    run_suite(instances, store, barrier_tol, optimality_tol,
+              oracle=oracle, oracle_time_limit=oracle_time_limit)
 
     print()
     print(table(summarize(store)))
@@ -72,6 +128,15 @@ if __name__ == "__main__":
     ap.add_argument("--barrier-tol", type=float, default=1e-10)
     ap.add_argument("--optimality-tol", type=float, default=1e-6)
     ap.add_argument("--max-instances", type=int, default=None)
+    ap.add_argument("--generate", choices=["optlp"], default=None,
+                    help="generate the optLP-scale synthetic suite "
+                         "instead of reading --data-dir")
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--num-per-family", type=int, default=4)
+    ap.add_argument("--oracle", action="store_true",
+                    help="record scipy-HiGHS objectives per instance")
+    ap.add_argument("--oracle-time-limit", type=float, default=3600.0)
     a = ap.parse_args()
     main(a.data_dir, a.results, a.barrier_tol, a.optimality_tol,
-         a.max_instances)
+         a.max_instances, a.generate, a.scale, a.num_per_family,
+         a.oracle, a.oracle_time_limit)
