@@ -138,7 +138,7 @@ def transport_simplex_anc(X, Bm, M, s, d,
     Bm0 = jnp.asarray(Bm, bool)
 
     def pivot_body(state):
-        N, parent, pot, w, Xv, Bmk, it, _ = state
+        N, dep, parent, pot, w, Xv, Bmk, it, _ = state
         u, v = pot[:S], pot[S:]
 
         # pricing over non-basic cells (the one dense O(S*D) op)
@@ -152,7 +152,6 @@ def transport_simplex_anc(X, Bm, M, s, d,
         x_end = ei
         y_end = S + ej
 
-        dep = jnp.sum(N, axis=1, dtype=jnp.int32) - 1       # (V,)
         anc_x = _row_of(N, x_end)
         anc_y = _row_of(N, y_end)
         oncycle = anc_x ^ anc_y          # cycle EDGES, keyed by child node
@@ -182,12 +181,17 @@ def transport_simplex_anc(X, Bm, M, s, d,
         n_eo = jnp.where(on_x_side, anc_y, anc_x)
 
         # --- N update: XOR row algebra ------------------------------------
-        xor = N ^ n_es[None, :]
+        # two fused V^2 passes: (1) the lca-depth max-reduce, (2) the
+        # row rewrite with the NEW row sums (dep) reduced in the same
+        # pass — dep is carried state, never recomputed standalone
         common = N & n_es[None, :]
         lca_dep = jnp.max(jnp.where(common, dep[None, :], -1), axis=1)
-        lca_oh = common & (dep[None, :] == lca_dep[:, None])
-        N_new = xor | lca_oh | n_eo[None, :]
-        N = jnp.where((done | ~C)[:, None], N, N_new)
+        keep = (done | ~C)[:, None]
+        N_new = (N ^ n_es[None, :]) \
+            | (common & (dep[None, :] == lca_dep[:, None])) \
+            | n_eo[None, :]
+        N = jnp.where(keep, N, N_new)
+        dep_next = jnp.sum(N, axis=1, dtype=jnp.int32) - 1  # fuses with write
 
         # --- potentials: the entering arc must price to zero across the
         # C boundary; within C relative potentials are unchanged ----------
@@ -208,28 +212,29 @@ def transport_simplex_anc(X, Bm, M, s, d,
         m_enter = (jnp.sum(jnp.where(vids == x_end, pot_new, 0.0))
                    + jnp.sum(jnp.where(vids == y_end, pot_new, 0.0)))
 
-        # one (3,V)x(V,V) product against the parent one-hot does all three
-        # transpose-scatters: Xv shift, w shift, on-path child id
-        OHp = ((parent[:, None] == vids[None, :]) & src[:, None]
-               ).astype(dtype)
-        stack = jnp.stack([jnp.where(src, Xv_upd, 0.0),
-                           jnp.where(src, w, 0.0),
-                           src.astype(dtype) * vids.astype(dtype)])
-        moved = jax.lax.dot_general(stack, OHp, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=dtype,
-                                    precision=_HI)          # (3, V)
-        hit = jax.lax.dot_general(src.astype(dtype)[None, :], OHp,
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=dtype,
-                                  precision=_HI)[0] > 0.5
+        # O(V) path scatter: every re-keying edge writes (Xv, w, child-id,
+        # hit) to its old parent's slot.  Targets on the path are distinct
+        # (parent is injective along a root path), so a single scatter-add
+        # into a (V, 4) buffer replaces the former (3,V)x(V,V) one-hot
+        # matmuls — which materialised an f32 VxV operand, ~32 MB of HBM
+        # traffic per pivot at 1024^2, more than all the bool-N algebra
+        # combined (VERDICT r3 item 3).
+        tgt = jnp.where(src, parent, V)      # out-of-range rows drop
+        vals = jnp.stack([jnp.where(src, Xv_upd, 0.0),
+                          jnp.where(src, w, 0.0),
+                          src.astype(dtype) * vids.astype(dtype),
+                          src.astype(dtype)], axis=1)       # (V, 4)
+        moved = jnp.zeros((V + 1, 4), dtype).at[tgt].add(
+            vals, mode="drop")[:V]
+        hit = moved[:, 3] > 0.5
 
-        Xv_new = jnp.where(hit, moved[0], Xv_upd)
+        Xv_new = jnp.where(hit, moved[:, 0], Xv_upd)
         Xv_new = jnp.where(vids == e_same, theta, Xv_new)
-        w_new = jnp.where(hit, moved[1], w)
+        w_new = jnp.where(hit, moved[:, 1], w)
         w_new = jnp.where(vids == e_same, m_enter, w_new)
 
         # --- parent update: reverse the segment, hang e_same off e_other --
-        child_on_path = moved[2].astype(jnp.int32)
+        child_on_path = moved[:, 2].astype(jnp.int32)
         parent_new = jnp.where(seg & hit, child_on_path, parent)
         parent_new = jnp.where(vids == e_same, e_other, parent_new)
 
@@ -245,11 +250,11 @@ def transport_simplex_anc(X, Bm, M, s, d,
         Xv = jnp.where(done, Xv, Xv_new)
         w = jnp.where(done, w, w_new)
         Bmk = jnp.where(done, Bmk, Bm_new)
-        return N, parent, pot, w, Xv, Bmk, \
+        return N, dep_next, parent, pot, w, Xv, Bmk, \
             it + (~done).astype(jnp.int32), done
 
     def outer_body(state):
-        N, parent, pot, w, Xv, Bmk, it, _ = state
+        N, dep, parent, pot, w, Xv, Bmk, it, _ = state
         # exact potential refresh from the (exactly re-keyed) tree costs
         _, _, pot = _chain(parent, w, K, dtype)
         u, v = pot[:S], pot[S:]
@@ -263,19 +268,20 @@ def transport_simplex_anc(X, Bm, M, s, d,
                            & (s_[-2] < max_pivots),
                 pivot_body, st)
 
-        state2 = (N, parent, pot, w, Xv, Bmk, it, done)
-        N, parent, pot, w, Xv, Bmk, it2, chunk_done = run_chunk(state2)
+        state2 = (N, dep, parent, pot, w, Xv, Bmk, it, done)
+        N, dep, parent, pot, w, Xv, Bmk, it2, chunk_done = run_chunk(state2)
         # chunk_done reflects drifted pricing; the NEXT outer round's
         # refreshed check decides actual optimality
-        return N, parent, pot, w, Xv, Bmk, it2, done
+        return N, dep, parent, pot, w, Xv, Bmk, it2, done
 
     def outer_cond(state):
         *_, it, done = state
         return (~done) & (it < max_pivots)
 
-    state = (N0, parent0, jnp.zeros(V, dtype), w0, Xv0, Bm0,
+    dep0 = jnp.sum(N0, axis=1, dtype=jnp.int32) - 1
+    state = (N0, dep0, parent0, jnp.zeros(V, dtype), w0, Xv0, Bm0,
              jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    N, parent, pot, w, Xv, Bmk, pivots, done = jax.lax.while_loop(
+    N, dep, parent, pot, w, Xv, Bmk, pivots, done = jax.lax.while_loop(
         outer_cond, outer_body, state)
 
     # reconstruct the dense plan and basis from (parent, Xv) ONCE

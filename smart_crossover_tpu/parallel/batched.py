@@ -132,7 +132,8 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
             engine = "parent" if max(Sq, Dq) < 256 else "anc"
         else:
             engine = "host"
-    if engine in ("device", "parent", "anc", "mask") and mesh is None:
+    if engine in ("device", "parent", "anc", "packed", "mask") \
+            and mesh is None:
         from smart_crossover_tpu.network_methods.certify import (
             certify_ot_basis_batch,
         )
@@ -294,12 +295,16 @@ def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
     from smart_crossover_tpu.ops.transport_simplex_anc import (
         transport_simplex_anc,
     )
+    from smart_crossover_tpu.ops.transport_simplex_packed import (
+        transport_simplex_packed,
+    )
     from smart_crossover_tpu.ops.transport_simplex_parent import (
         transport_simplex_parent,
     )
 
     pivot_fn = {"parent": transport_simplex_parent,
                 "anc": transport_simplex_anc,
+                "packed": transport_simplex_packed,
                 "mask": transport_simplex}[engine]
 
     def one(s_, d_, M_):
