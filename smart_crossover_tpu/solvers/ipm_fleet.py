@@ -165,24 +165,33 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
         d = 1.0 / np.maximum(zl / p + zu / q, 1e-10)       # (B, n)
         d = np.minimum(d, 1e10)
         ADA = _bmm(A * d[:, None, :], AT)
-        # PER-INSTANCE regularisation: a converged instance's scaling d
-        # saturates at the 1e10 cap, and a shared (batch-max) reg would
-        # poison every still-active instance's Newton system
-        reg = 1e-12 * (1.0 + np.einsum("bii->b", ADA))
+        # PER-INSTANCE regularisation, RELATIVE to the diagonal scale:
+        # with d capped at 1e10 the diagonal reaches ~1e12+, and any reg
+        # proportional to trace/diag-sum is O(1e2..1e3) — large enough
+        # that iterative refinement contracts only by reg/lambda_min per
+        # pass and ~14% of the fleet stalls at 30 iterations (the round-3
+        # Amdahl hole: every straggler pays a full host IPM re-solve).  A
+        # 1e-14-relative shift is below the factorisation's own backward
+        # error and keeps refinement contracting.
+        diag_max = np.einsum("bii->b", np.abs(ADA)) / m \
+            + np.abs(ADA).max(axis=(1, 2))
+        reg = 1e-14 * (1.0 + diag_max)
         ADA = ADA + reg[:, None, None] * eye
 
         # ONE batched inverse per iteration, shared by the predictor,
         # corrector, and Gondzio solves (np.linalg.solve would refactor
         # for each, and per-instance scipy cho_factor loops drown in
         # OpenBLAS per-call sync).  The inverse-apply loses ~cond*eps
-        # digits, so every solve gets one iterative-refinement pass —
+        # digits, so every solve gets iterative-refinement passes —
         # with f64 eps that contracts as long as cond(ADA) << 1e16.
         ADAinv = _binv(ADA)
 
         def batch_solve(rhs):
             dy_ = (ADAinv @ rhs[..., None])[..., 0]
-            r_ = rhs - (ADA @ dy_[..., None])[..., 0]
-            return dy_ + (ADAinv @ r_[..., None])[..., 0]
+            for _ in range(2):
+                r_ = rhs - (ADA @ dy_[..., None])[..., 0]
+                dy_ = dy_ + (ADAinv @ r_[..., None])[..., 0]
+            return dy_
 
         def newton(rp, rd, rcl, rcu):
             rhs_x = rd - rcl / p + rcu / q

@@ -21,10 +21,14 @@ O(subtree) potential updates mirrors this algorithm for speed
 from __future__ import annotations
 
 import datetime
+import os
 import time
 from dataclasses import dataclass
 
 import numpy as np
+
+# per-pivot conservation invariant check (debug): SCX_NS_DEBUG=1
+_NS_DEBUG = bool(os.environ.get("SCX_NS_DEBUG"))
 
 from smart_crossover_tpu.models import Basis, MinCostFlow, Output
 from smart_crossover_tpu.models.output import (
@@ -377,6 +381,20 @@ def _network_simplex_py(mcf: MinCostFlow,
         x[e] += direction * theta
         for a, d in zip(cyc_arcs, cyc_delta):
             x[a] += d * theta
+
+        if _NS_DEBUG:
+            # canonical incidence: +1 at heads, -1 at tails (b = net inflow)
+            resid = np.zeros(m)
+            np.add.at(resid, heads.astype(int), x)
+            np.add.at(resid, tails.astype(int), -x)
+            err = np.abs(resid - mcf.b).max()
+            if err > 1e-6:
+                print(f"[ns-debug] pivot {it}: conservation broken "
+                      f"err={err:.6g} e={e} ({int(tails[e])}->"
+                      f"{int(heads[e])}) theta={theta} leaving={leaving} "
+                      f"cyc={list(zip(cyc_arcs, cyc_delta))} "
+                      f"apex={apex} path_t={path_t} path_h={path_h}")
+                raise AssertionError("conservation broken")
 
         if leaving == e:
             status[e] = leaving_to  # bound-to-bound flip

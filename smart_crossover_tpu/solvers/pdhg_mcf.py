@@ -1,0 +1,228 @@
+"""Device-resident arc-list PDHG for min-cost flow (VERDICT r3 item 4).
+
+The warm-start stage of the GOTO-17 flagship protocol (reference
+scripts/run_network_crossover.py:38 — first-order warm start, then
+crossover) previously ran the scipy host mirror at ~25 ms/iteration
+(114–137 s for 5k iterations at 131k nodes / 786k arcs).  A naive device
+port is no better: XLA lowers 1-D gathers/scatters on TPU to ~7 ns per
+ELEMENT (measured 5.8 ms for a 786k gather — scalar addressing), so BCOO
+incidence matvecs are gather-bound.
+
+This module builds the incidence matvecs out of the primitives that DO
+vectorize on TPU (measured at 786k arcs):
+
+* ``cumsum``                      0.3 ms
+* fixed-permutation via ``sort``  1.8 ms (vs 5.8 ms gather)
+* small static gathers/scatters   ~1 ms at 131k
+
+Layout: arcs stored tail-sorted ("T-order").  Then
+
+* segment-sum by tails   = cumsum + two static (m,)-gathers (boundary
+  differences);
+* segment-sum by heads   = sort-transport to head-sorted order, then the
+  same cumsum trick;
+* per-arc broadcast y[tail(a)] = scatter first-differences of y at the
+  (static) segment starts, then cumsum — a running-sum reconstruction;
+* per-arc y[head(a)]     = the same broadcast in H-order, sort-transported
+  back to T-order.
+
+The PDHG itself reuses the validated restarted cores of solvers/pdhg.py
+(adaptive PDLP and reflected-Halpern r2HPDHG) through an operator object
+— only ``A @ x`` / ``A.T @ y`` change.
+"""
+from __future__ import annotations
+
+import datetime
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sort_apply(keys, z):
+    """w[keys[p]] = z[p] for a permutation ``keys`` (device, via sort)."""
+    _, w = jax.lax.sort((keys, z), dimension=0, num_keys=1)
+    return w
+
+
+class IncidenceDeviceOp:
+    """TPU-friendly node-arc incidence operator (T-order arc vectors)."""
+
+    def __init__(self, tails, heads, m: int, dtype=jnp.float32):
+        tails = np.asarray(tails, dtype=np.int64)
+        heads = np.asarray(heads, dtype=np.int64)
+        n = tails.size
+        self.shape = (m, n)
+        self.dtype = dtype
+
+        order_T = np.argsort(tails, kind="stable")
+        self.order_T = order_T                      # original arc -> T-pos
+        tT = tails[order_T]
+        hT = heads[order_T]
+        order_H = np.argsort(hT, kind="stable")     # H-pos -> T-pos
+        key_TH = np.empty(n, dtype=np.int32)
+        key_TH[order_H] = np.arange(n, dtype=np.int32)  # T-pos -> H-pos
+        hH = hT[order_H]
+
+        cnt_T = np.bincount(tT, minlength=m)
+        end_T = np.cumsum(cnt_T)
+        cnt_H = np.bincount(hH, minlength=m)
+        end_H = np.cumsum(cnt_H)
+
+        # segment starts (nonempty nodes only) for the broadcast trick
+        ne_T = np.flatnonzero(cnt_T)
+        ne_H = np.flatnonzero(cnt_H)
+        start_pos_T = end_T[ne_T] - cnt_T[ne_T]
+        start_pos_H = end_H[ne_H] - cnt_H[ne_H]
+
+        as_i32 = lambda a: jnp.asarray(a, jnp.int32)
+        self._key_TH = as_i32(key_TH)
+        self._key_HT = as_i32(order_H)   # scatter H-order -> T-order
+        self._end_T = as_i32(end_T)
+        self._start_T = as_i32(end_T - cnt_T)
+        self._end_H = as_i32(end_H)
+        self._start_H = as_i32(end_H - cnt_H)
+        self._node_T = as_i32(ne_T)      # nodes with out-arcs, ascending
+        self._node_H = as_i32(ne_H)
+        self._spos_T = as_i32(start_pos_T)
+        self._spos_H = as_i32(start_pos_H)
+
+    # -- segment primitives -------------------------------------------------
+
+    def _segsum(self, z, start, end):
+        cs = jnp.concatenate([jnp.zeros(1, z.dtype), jnp.cumsum(z)])
+        return cs[end] - cs[start]
+
+    def _seg_broadcast(self, y, nodes, spos):
+        """per-arc y[node(a)] for arcs sorted by that node: scatter the
+        first-differences of y over present nodes at the segment starts,
+        then running-sum."""
+        yv = y[nodes]
+        diffs = jnp.concatenate([yv[:1], yv[1:] - yv[:-1]])
+        z = jnp.zeros(self.shape[1], y.dtype).at[spos].set(diffs)
+        return jnp.cumsum(z)
+
+    # -- operator interface (A @ x, A.T @ y) --------------------------------
+
+    def __matmul__(self, x):
+        # canonical incidence: +1 at heads, -1 at tails (models/formats.py
+        # MinCostFlow: b is net inflow)
+        tail_part = self._segsum(x, self._start_T, self._end_T)
+        xH = _sort_apply(self._key_TH, x)
+        head_part = self._segsum(xH, self._start_H, self._end_H)
+        return head_part - tail_part
+
+    @property
+    def T(self):
+        return _IncidenceDeviceOpT(self)
+
+
+class _IncidenceDeviceOpT:
+    def __init__(self, op: IncidenceDeviceOp):
+        self._op = op
+        self.shape = (op.shape[1], op.shape[0])
+        self.dtype = op.dtype
+
+    def __matmul__(self, y):
+        op = self._op
+        yT = op._seg_broadcast(y, op._node_T, op._spos_T)
+        yH = op._seg_broadcast(y, op._node_H, op._spos_H)
+        y_head_T = _sort_apply(op._key_HT, yH)
+        return y_head_T - yT
+
+    @property
+    def T(self):
+        return self._op
+
+
+def _power_opnorm(op, n, dtype, iters: int = 30, seed: int = 0):
+    v = jnp.asarray(np.random.default_rng(seed).standard_normal(n), dtype)
+
+    def it(i, v):
+        w = op.T @ (op @ v)
+        return w / (jnp.linalg.norm(w) + 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, it, v)
+    w = op @ v
+    return jnp.sqrt(jnp.linalg.norm(op.T @ w)
+                    / (jnp.linalg.norm(v) + 1e-30))
+
+
+class _OpShell:
+    """IncidenceDeviceOp view over traced arrays (inside jit)."""
+
+    def __init__(self, fields, shape, dtype):
+        (self._key_TH, self._key_HT, self._end_T, self._start_T,
+         self._end_H, self._start_H, self._node_T, self._node_H,
+         self._spos_T, self._spos_H) = fields
+        self.shape = shape
+        self.dtype = dtype
+
+    _segsum = IncidenceDeviceOp._segsum
+    _seg_broadcast = IncidenceDeviceOp._seg_broadcast
+    __matmul__ = IncidenceDeviceOp.__matmul__
+    T = IncidenceDeviceOp.T
+
+
+def _op_fields(op):
+    return (op._key_TH, op._key_HT, op._end_T, op._start_T,
+            op._end_H, op._start_H, op._node_T, op._node_H,
+            op._spos_T, op._spos_H)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("shape", "mode", "max_iters",
+                                    "check_every", "restart_period"))
+def _run_device(fields, shape, b, c, l, u, x0, y0, mode, max_iters,
+                check_every, restart_period, tol):
+    """Jitted end-to-end run: same-shape instances (e.g. the 3-seed GOTO-17
+    protocol) reuse one compilation."""
+    from smart_crossover_tpu.solvers.pdhg import (
+        _pdhg_core,
+        _pdhg_core_halpern,
+    )
+
+    op = _OpShell(fields, shape, b.dtype)
+    opnorm = _power_opnorm(op, shape[1], b.dtype)
+    is_eq = jnp.ones(shape[0], dtype=bool)
+    core = _pdhg_core_halpern if mode == "halpern" else _pdhg_core
+    return core(op, b, c, l, u, is_eq, opnorm, x0, y0,
+                max_iters=max_iters, check_every=check_every,
+                restart_period=restart_period, tol=tol)
+
+
+def pdhg_mcf_device(mcf, tol: float = 1e-4, max_iters: int = 5000,
+                    mode: str = "halpern", dtype=jnp.float32,
+                    check_every: int = 250, restart_period: int = 500,
+                    x0=None, y0=None):
+    """First-order warm-start engine for MCF on the accelerator.
+
+    Returns (x, y, iters, converged, runtime) with x/y in the ORIGINAL
+    arc order, f64 on host.
+    """
+    t0 = time.perf_counter()
+    m, n = len(mcf.b), len(mcf.c)
+    op = IncidenceDeviceOp(mcf.tails, mcf.heads, m, dtype=dtype)
+    order = op.order_T
+    c = jnp.asarray(np.asarray(mcf.c, np.float64)[order], dtype)
+    u = jnp.asarray(np.asarray(mcf.u, np.float64)[order], dtype)
+    l = jnp.zeros(n, dtype)
+    b = jnp.asarray(mcf.b, dtype)
+
+    xs = (jnp.asarray(np.asarray(x0, np.float64)[order], dtype)
+          if x0 is not None else jnp.clip(jnp.zeros(n, dtype), l, u))
+    ys = (jnp.asarray(y0, dtype) if y0 is not None
+          else jnp.zeros(m, dtype))
+
+    x, y, iters, done = _run_device(
+        _op_fields(op), op.shape, b, c, l, u, xs, ys, mode, max_iters,
+        check_every, restart_period, tol)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    x_out = np.empty(n, np.float64)
+    x_out[order] = x
+    runtime = datetime.timedelta(seconds=time.perf_counter() - t0)
+    return x_out, y, int(iters), bool(done), runtime
