@@ -62,6 +62,16 @@ def run_suite(instances, store: ResultStore, barrier_tol: float,
             store.record(name, "highs", status="OPTIMAL" if st == 0
                          else f"HIGHS_{st}", runtime=rt, obj_val=obj)
             print(f"  {name} highs: obj={obj} ({rt:.1f}s)")
+        if not store.is_solved(name, "ptb"):
+            if lp is None:
+                lp = thunk()
+            out = run_perturb_algorithm(lp, barrierTol=barrier_tol,
+                                        optimalityTol=optimality_tol)
+            store.record(name, "ptb", status=out.status, runtime=out.runtime,
+                         obj_val=out.obj_val, iter_count=out.iter_count,
+                         bar_iter_count=out.bar_iter_count)
+            print(f"  {name} ptb: {out.status} obj={out.obj_val} "
+                  f"pivots={out.iter_count} ({out.runtime})")
         if not store.is_solved(name, "ori"):
             if lp is None:
                 lp = thunk()
@@ -72,16 +82,6 @@ def run_suite(instances, store: ResultStore, barrier_tol: float,
                          obj_val=out.obj_val, iter_count=out.iter_count,
                          bar_iter_count=out.bar_iter_count)
             print(f"  {name} ori: {out.status} obj={out.obj_val} "
-                  f"pivots={out.iter_count} ({out.runtime})")
-        if not store.is_solved(name, "ptb"):
-            if lp is None:
-                lp = thunk()
-            out = run_perturb_algorithm(lp, barrierTol=barrier_tol,
-                                        optimalityTol=optimality_tol)
-            store.record(name, "ptb", status=out.status, runtime=out.runtime,
-                         obj_val=out.obj_val, iter_count=out.iter_count,
-                         bar_iter_count=out.bar_iter_count)
-            print(f"  {name} ptb: {out.status} obj={out.obj_val} "
                   f"pivots={out.iter_count} ({out.runtime})")
 
 

