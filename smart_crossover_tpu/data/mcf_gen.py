@@ -15,10 +15,17 @@ from smart_crossover_tpu.models import MinCostFlow
 def goto_like_mcf(width: int = 16, height: int = 16, extra_arc_factor: int = 4,
                   supply: float = 100.0, max_cost: float = 100.0,
                   max_cap: float = 30.0, seed: int = 42,
+                  regular: bool = False,
                   name: str | None = None) -> MinCostFlow:
     """Grid-on-torus MCF: m = width*height nodes, torus neighbor arcs plus
     `extra_arc_factor * m` random arcs; flow pushed from node 0 to the
-    antipodal node."""
+    antipodal node.
+
+    ``regular=True`` draws the extra arcs as random Hamiltonian cycles
+    instead of i.i.d. endpoint pairs, making in- and out-degree exactly
+    ``2 + extra_arc_factor`` at every node — the degree-regular structure
+    real GOTO generator output has, and the one the device PDHG's
+    reshape/rowsum fast path exploits (solvers/pdhg_mcf.py)."""
     rng = np.random.default_rng(seed)
     m = width * height
 
@@ -31,12 +38,21 @@ def goto_like_mcf(width: int = 16, height: int = 16, extra_arc_factor: int = 4,
             v = node(i, j)
             tails += [v, v]
             heads += [node(i, j + 1), node(i + 1, j)]
-    extra = extra_arc_factor * m
-    et = rng.integers(0, m, extra)
-    eh = rng.integers(0, m, extra)
-    keep = et != eh
-    tails = np.concatenate([tails, et[keep]])
-    heads = np.concatenate([heads, eh[keep]])
+    if regular:
+        ets, ehs = [], []
+        for _ in range(extra_arc_factor):
+            cyc = rng.permutation(m)
+            ets.append(cyc)
+            ehs.append(np.roll(cyc, -1))
+        tails = np.concatenate([tails] + ets)
+        heads = np.concatenate([heads] + ehs)
+    else:
+        extra = extra_arc_factor * m
+        et = rng.integers(0, m, extra)
+        eh = rng.integers(0, m, extra)
+        keep = et != eh
+        tails = np.concatenate([tails, et[keep]])
+        heads = np.concatenate([heads, eh[keep]])
     n = tails.size
 
     cost = np.round(rng.uniform(1.0, max_cost, n), 2)

@@ -87,6 +87,13 @@ class IncidenceDeviceOp:
         self._node_H = as_i32(ne_H)
         self._spos_T = as_i32(start_pos_T)
         self._spos_H = as_i32(start_pos_H)
+        # degree-regular fast path (real GOTO output is regular): with a
+        # uniform out-degree the T-order vector IS an (m, K) matrix —
+        # segment sums become row sums and per-arc broadcasts become
+        # shape broadcasts, eliminating every m-sized gather/scatter
+        # (~6 ms of the 11 ms/iteration at 786k arcs, measured)
+        self._kt = int(cnt_T[0]) if (cnt_T == cnt_T[0]).all() else None
+        self._kh = int(cnt_H[0]) if (cnt_H == cnt_H[0]).all() else None
 
     # -- segment primitives -------------------------------------------------
 
@@ -108,9 +115,16 @@ class IncidenceDeviceOp:
     def __matmul__(self, x):
         # canonical incidence: +1 at heads, -1 at tails (models/formats.py
         # MinCostFlow: b is net inflow)
-        tail_part = self._segsum(x, self._start_T, self._end_T)
+        m = self.shape[0]
+        if self._kt is not None:
+            tail_part = x.reshape(m, self._kt).sum(axis=1)
+        else:
+            tail_part = self._segsum(x, self._start_T, self._end_T)
         xH = _sort_apply(self._key_TH, x)
-        head_part = self._segsum(xH, self._start_H, self._end_H)
+        if self._kh is not None:
+            head_part = xH.reshape(m, self._kh).sum(axis=1)
+        else:
+            head_part = self._segsum(xH, self._start_H, self._end_H)
         return head_part - tail_part
 
     @property
@@ -126,8 +140,15 @@ class _IncidenceDeviceOpT:
 
     def __matmul__(self, y):
         op = self._op
-        yT = op._seg_broadcast(y, op._node_T, op._spos_T)
-        yH = op._seg_broadcast(y, op._node_H, op._spos_H)
+        m, n = op.shape
+        if op._kt is not None:
+            yT = jnp.broadcast_to(y[:, None], (m, op._kt)).reshape(n)
+        else:
+            yT = op._seg_broadcast(y, op._node_T, op._spos_T)
+        if op._kh is not None:
+            yH = jnp.broadcast_to(y[:, None], (m, op._kh)).reshape(n)
+        else:
+            yH = op._seg_broadcast(y, op._node_H, op._spos_H)
         y_head_T = _sort_apply(op._key_HT, yH)
         return y_head_T - yT
 
@@ -152,12 +173,14 @@ def _power_opnorm(op, n, dtype, iters: int = 30, seed: int = 0):
 class _OpShell:
     """IncidenceDeviceOp view over traced arrays (inside jit)."""
 
-    def __init__(self, fields, shape, dtype):
+    def __init__(self, fields, shape, dtype, kt=None, kh=None):
         (self._key_TH, self._key_HT, self._end_T, self._start_T,
          self._end_H, self._start_H, self._node_T, self._node_H,
          self._spos_T, self._spos_H) = fields
         self.shape = shape
         self.dtype = dtype
+        self._kt = kt
+        self._kh = kh
 
     _segsum = IncidenceDeviceOp._segsum
     _seg_broadcast = IncidenceDeviceOp._seg_broadcast
@@ -175,9 +198,10 @@ from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("shape", "mode", "max_iters",
-                                    "check_every", "restart_period"))
+                                    "check_every", "restart_period",
+                                    "kt", "kh"))
 def _run_device(fields, shape, b, c, l, u, x0, y0, mode, max_iters,
-                check_every, restart_period, tol):
+                check_every, restart_period, tol, kt=None, kh=None):
     """Jitted end-to-end run: same-shape instances (e.g. the 3-seed GOTO-17
     protocol) reuse one compilation."""
     from smart_crossover_tpu.solvers.pdhg import (
@@ -185,7 +209,7 @@ def _run_device(fields, shape, b, c, l, u, x0, y0, mode, max_iters,
         _pdhg_core_halpern,
     )
 
-    op = _OpShell(fields, shape, b.dtype)
+    op = _OpShell(fields, shape, b.dtype, kt, kh)
     opnorm = _power_opnorm(op, shape[1], b.dtype)
     is_eq = jnp.ones(shape[0], dtype=bool)
     core = _pdhg_core_halpern if mode == "halpern" else _pdhg_core
@@ -219,7 +243,7 @@ def pdhg_mcf_device(mcf, tol: float = 1e-4, max_iters: int = 5000,
 
     x, y, iters, done = _run_device(
         _op_fields(op), op.shape, b, c, l, u, xs, ys, mode, max_iters,
-        check_every, restart_period, tol)
+        check_every, restart_period, tol, kt=op._kt, kh=op._kh)
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     x_out = np.empty(n, np.float64)

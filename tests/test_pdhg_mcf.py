@@ -70,3 +70,38 @@ def test_pdhg_mcf_device_warm_start_shape(rng):
         y0=np.zeros(len(mcf.b)))
     assert x.shape == (mcf.n,)
     assert np.all(x >= -1e-9) and np.all(x <= mcf.u + 1e-6)
+
+
+def test_regular_goto_fast_path_matches(rng):
+    """Degree-regular GOTO instances take the reshape/rowsum fast path;
+    operator results must equal scipy exactly and the solve must reach the
+    network-simplex optimum."""
+    import jax.numpy as jnp
+
+    from smart_crossover_tpu.solvers.network_simplex import network_simplex
+
+    mcf = goto_like_mcf(width=7, height=6, extra_arc_factor=3, seed=9,
+                        regular=True)
+    m, n = len(mcf.b), len(mcf.c)
+    deg = np.bincount(mcf.tails, minlength=m)
+    assert (deg == deg[0]).all()          # regular by construction
+    op = IncidenceDeviceOp(mcf.tails, mcf.heads, m, dtype=jnp.float64)
+    assert op._kt is not None and op._kh is not None
+    A = _incidence(mcf)
+    x = rng.standard_normal(n)
+    y = rng.standard_normal(m)
+    xT = x[op.order_T]
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(xT)),
+                               A @ x, atol=1e-9)
+    aty = np.asarray(op.T @ jnp.asarray(y))
+    aty_orig = np.empty(n)
+    aty_orig[op.order_T] = aty
+    np.testing.assert_allclose(aty_orig, A.T @ y, atol=1e-9)
+
+    ref = network_simplex(mcf)
+    x_s, y_s, iters, done, rt = pdhg_mcf_device(
+        mcf, tol=1e-6, max_iters=60000, dtype=jnp.float64,
+        check_every=200, restart_period=400)
+    assert done
+    assert float(mcf.c @ x_s) == pytest.approx(ref.obj_val, rel=1e-4,
+                                               abs=1e-3)
