@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -45,9 +46,16 @@ def _thread_map(work, B, threads=None):
 
 
 def _bmm(X, Y):
-    """Threaded batched matmul X @ Y over the leading axis."""
+    """Threaded batched matmul X @ Y over the leading axis.
+
+    Small batches (the single-big-LP path, B=1) skip the per-chunk
+    1-thread BLAS limit — there the parallelism must come from BLAS
+    itself, not the chunk pool."""
     B = X.shape[0]
     out = np.empty((B, X.shape[1], Y.shape[2]), dtype=np.float64)
+    if B <= 2:
+        np.matmul(X, Y, out=out)
+        return out
 
     def work(i0, i1):
         with _tp_limits(limits=1, user_api="blas"):
@@ -58,8 +66,10 @@ def _bmm(X, Y):
 
 
 def _binv(M):
-    """Threaded batched inverse over the leading axis."""
+    """Threaded batched inverse over the leading axis (see _bmm re B<=2)."""
     B = M.shape[0]
+    if B <= 2:
+        return np.linalg.inv(M)
     out = np.empty_like(M)
 
     def work(i0, i1):
@@ -281,6 +291,35 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
         conv[idx] = (pres < tol) & (dres < tol) & (relgap < tol)
 
     return l_full + P, Y, ZL, ZU, conv, iters_used
+
+
+def ipm_big(A, b, c, l, u, tol: float = 1e-8,
+            device_tol: float = 1e-5, max_device_iters: int = 60,
+            max_refine_iters: int = 30):
+    """Barrier-solve ONE large dense LP with the fleet machinery at B=1
+    (VERDICT r3 item 7: the single-big-LP device story).
+
+    The m^2 n normal-equations GEMM dominates a dense barrier solve at
+    m >= 5000.  A host f64 IPM pays it EVERY iteration (~25x); here the
+    device f32 stage carries all bulk iterations on the MXU and the host
+    pays the f64 GEMM only for the 2-5 endgame steps.
+
+    Returns an IPMResult.
+    """
+    t0 = time.perf_counter()
+    res = ipm_fleet(A[None], b[None], c[None], l[None], u[None], tol=tol,
+                    device_tol=device_tol,
+                    max_device_iters=max_device_iters,
+                    max_refine_iters=max_refine_iters)
+    import datetime
+
+    x, y = res.x[0], res.y[0]
+    return IPMResult(
+        x=x, y=y, zl=np.zeros_like(x), zu=np.zeros_like(x),
+        obj_val=float(res.obj[0]),
+        iter_count=int(res.device_iters[0] + res.refine_iters[0]),
+        status=res.status[0],
+        runtime=datetime.timedelta(seconds=time.perf_counter() - t0))
 
 
 @dataclass

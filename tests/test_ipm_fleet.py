@@ -52,3 +52,20 @@ def test_ipm_fleet_device_only(rng):
         ref = linprog(cs[i], A_eq=As[i], b_eq=bs[i], bounds=[(0, 1)] * n,
                       method="highs")
         assert res.obj[i] == pytest.approx(ref.fun, abs=1e-6)
+
+
+def test_ipm_big_single_large_lp(rng):
+    """Single-big-LP path: device stage + B=1 endgame must reach 1e-8 and
+    match HiGHS."""
+    from smart_crossover_tpu.solvers.ipm_fleet import ipm_big
+
+    m, n = 60, 150
+    A = rng.standard_normal((m, n))
+    x0 = rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    res = ipm_big(A, b, c, np.zeros(n), np.ones(n), tol=1e-8)
+    assert res.status == "OPTIMAL"
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert res.obj_val == pytest.approx(ref.fun, abs=1e-7)
+    assert np.abs(A @ res.x - b).max() < 1e-8
