@@ -212,9 +212,19 @@ def ipm_solve(A, b, c, l, u,
     has_l = np.isfinite(l)
     has_u = np.isfinite(u)
     free = ~has_l & ~has_u
-    # free variables make the scaling matrix singular; use the symmetric
-    # indefinite augmented KKT system instead of normal equations then
-    use_augmented = bool(np.any(free))
+    # Free variables make the scaling matrix singular; a SMALL free set
+    # goes through the bordered normal equations (symmetric elimination
+    # of the skinny A_F border).  A WIDE free set breaks that path:
+    # solveM(A_F) is an (m, f) multi-RHS back-solve per iteration
+    # (f ~ 2000 free columns at optLP scale = ~10 min/iteration through
+    # SuperLU, observed), and M = A_N D A_N' is structurally singular
+    # when rows are covered only by free columns.  Wide sets instead stay
+    # inside the plain normal equations with the capped scaling
+    # d_free = d_cap (a primal proximal regularisation, Saunders) — the
+    # same mechanism the endgame d-cap uses; the model error it
+    # introduces is absorbed by the KKT-level refinement passes.
+    wide_free = int(free.sum()) > 128
+    use_augmented = bool(np.any(free)) and not wide_free
 
     AT = A.T.tocsr()
 
@@ -389,7 +399,9 @@ def ipm_solve(A, b, c, l, u,
         # drift 1e-12 -> 3e-8 over the last 10 iterations at m=30k.  The
         # cap is a primal proximal regularisation (Saunders); the KKT-level
         # refinement loop absorbs the model error it introduces.
-        d_direct_cap = 1e10 if mu_prev < 1e-6 else 1e14
+        # (wide_free pins the cap throughout: free columns ride the NE at
+        # d = cap, and refinement contraction needs kappa*eps << 1)
+        d_direct_cap = 1e10 if (mu_prev < 1e-6 or wide_free) else 1e14
 
         # Endgame back-substitution in 80-bit: dx = d (A'dy - rhs_x) with
         # d ~ 1e10 amplifies the f64 rounding of (A'dy - rhs_x) to an
