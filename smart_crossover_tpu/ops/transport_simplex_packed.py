@@ -67,16 +67,24 @@ def unpack_row(p, V: int):
     return bits.reshape(-1)[:V]
 
 
-@partial(jax.jit, static_argnames=("max_pivots", "refresh"))
+@partial(jax.jit, static_argnames=("max_pivots", "refresh", "blocks"))
 def transport_simplex_packed(X, Bm, M, s, d,
                              tol: float = 1e-7,
                              max_pivots: int = 5000,
-                             refresh: int = 128):
+                             refresh: int = 128,
+                             blocks: int = 16):
     """Pivot a basic feasible transport plan to optimality (packed N).
 
     Same contract as ops.transport_simplex.transport_simplex:
         X: (S, D) basic feasible plan; Bm: spanning-tree basis mask;
         M: costs.  Returns (X_opt, Bm_opt, pivots, optimal_flag).
+
+    ``blocks > 0`` enables multiple (block) pricing: a full O(S*D)
+    pricing pass returns one candidate cell per block; between full
+    passes, pivots price only the O(blocks) candidates against the
+    CURRENT potentials — classic partial pricing, amortising the dense
+    pass over several pivots.  Optimality is still certified by a full
+    pass.  ``blocks=0`` restores per-pivot Dantzig.
     """
     S, D = M.shape
     V = S + D
@@ -103,17 +111,58 @@ def transport_simplex_packed(X, Bm, M, s, d,
                     jnp.asarray(X, dtype).reshape(-1)[cell_flat], 0.0)
     Bm0 = jnp.asarray(Bm, bool)
 
-    def pivot_body(state):
-        P, dep, parent, pot, w, Xv, Bmk, it, _ = state
-        u, v = pot[:S], pot[S:]
+    SD = S * D
+    KB = max(int(blocks), 0)
+    if KB:
+        L = -(-SD // KB)            # block length (ceil)
+        pad = KB * L - SD
+        offs = (jnp.arange(KB, dtype=jnp.int32) * L)
+    M_flat = M.reshape(-1)
 
-        # pricing over non-basic cells (the one dense O(S*D) pass; min and
-        # argmin fuse over the same producer — no materialised delta)
+    def _price_full(Bmk, u, v):
+        """One dense pass -> (entering flat id, its rc, optimal?, cands)."""
         delta = jnp.where(Bmk, jnp.asarray(0.0, dtype),
                           M - u[:, None] - v[None, :])
-        flat = jnp.argmin(delta.reshape(-1))
-        dmin = jnp.min(delta)
-        done = dmin >= -tol
+        if not KB:
+            flat = jnp.argmin(delta.reshape(-1)).astype(jnp.int32)
+            dmin = jnp.min(delta)
+            return flat, dmin, dmin >= -tol, None
+        df = delta.reshape(-1)
+        if pad:
+            df = jnp.concatenate([df, jnp.zeros(pad, dtype)])
+        db = df.reshape(KB, L)
+        vals = jnp.min(db, axis=1)
+        idxs = jnp.argmin(db, axis=1).astype(jnp.int32) + offs
+        dmin = jnp.min(vals)
+        kb = jnp.argmin(vals)
+        cand = jnp.where(vals < -tol, idxs, SD)
+        return idxs[kb], dmin, dmin >= -tol, cand
+
+    def pivot_body(state):
+        P, dep, parent, pot, w, Xv, Bmk, cand, it, _ = state
+        u, v = pot[:S], pot[S:]
+
+        if KB:
+            # multiple pricing: candidates against CURRENT potentials
+            ci_c = cand // D
+            cj_c = cand % D
+            safe = jnp.minimum(cand, SD - 1)
+            rc_c = (M_flat[safe] - u[jnp.minimum(ci_c, S - 1)]
+                    - v[jnp.minimum(cj_c, D - 1)])
+            basic_c = Bmk.reshape(-1)[safe]
+            valid = (cand < SD) & ~basic_c & (rc_c < -tol)
+
+            def use_cand(_):
+                k = jnp.argmin(jnp.where(valid, rc_c, 0.0))
+                return cand[k], rc_c[k], jnp.asarray(False), cand
+
+            def full(_):
+                return _price_full(Bmk, u, v)
+
+            flat, dmin, done, cand = jax.lax.cond(
+                jnp.any(valid), use_cand, full, None)
+        else:
+            flat, dmin, done, _ = _price_full(Bmk, u, v)
         ei = (flat // D).astype(jnp.int32)
         ej = (flat % D).astype(jnp.int32)
         x_end = ei
@@ -217,11 +266,11 @@ def transport_simplex_packed(X, Bm, M, s, d,
         Xv = jnp.where(done, Xv, Xv_new)
         w = jnp.where(done, w, w_new)
         Bmk = jnp.where(done, Bmk, Bm_new)
-        return P, dep_next, parent, pot, w, Xv, Bmk, \
+        return P, dep_next, parent, pot, w, Xv, Bmk, cand, \
             it + (~done).astype(jnp.int32), done
 
     def outer_body(state):
-        P, dep, parent, pot, w, Xv, Bmk, it, _ = state
+        P, dep, parent, pot, w, Xv, Bmk, cand, it, _ = state
         # exact potential refresh from the (exactly re-keyed) tree costs
         _, _, pot = _chain(parent, w, K, dtype)
         u, v = pot[:S], pot[S:]
@@ -235,20 +284,23 @@ def transport_simplex_packed(X, Bm, M, s, d,
                            & (s_[-2] < max_pivots),
                 pivot_body, st)
 
-        state2 = (P, dep, parent, pot, w, Xv, Bmk, it, done)
-        P, dep, parent, pot, w, Xv, Bmk, it2, _ = run_chunk(state2)
+        state2 = (P, dep, parent, pot, w, Xv, Bmk, cand, it, done)
+        P, dep, parent, pot, w, Xv, Bmk, cand, it2, _ = run_chunk(state2)
         # chunk_done reflects drifted pricing; the NEXT outer round's
-        # refreshed check decides actual optimality
-        return P, dep, parent, pot, w, Xv, Bmk, it2, done
+        # refreshed check decides actual optimality; refreshed potentials
+        # invalidate stale candidates
+        cand = jnp.full_like(cand, S * D)
+        return P, dep, parent, pot, w, Xv, Bmk, cand, it2, done
 
     def outer_cond(state):
         *_, it, done = state
         return (~done) & (it < max_pivots)
 
+    cand0 = jnp.full(max(KB, 1), SD, dtype=jnp.int32)
     state = (P0, dep0, parent0, jnp.zeros(V, dtype), w0, Xv0, Bm0,
-             jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    P, dep, parent, pot, w, Xv, Bmk, pivots, done = jax.lax.while_loop(
-        outer_cond, outer_body, state)
+             cand0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    P, dep, parent, pot, w, Xv, Bmk, cand, pivots, done = \
+        jax.lax.while_loop(outer_cond, outer_body, state)
 
     # reconstruct the dense plan from (parent, Xv) ONCE — a V-element 2-D
     # scatter; the basis mask is the carried pricing mask Bmk
