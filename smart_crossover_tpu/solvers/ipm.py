@@ -37,7 +37,7 @@ except ImportError:  # pragma: no cover - threadpoolctl ships with scipy
 # ~20x slower than LAPACK Cholesky at m=1500 (measured: 1.0s vs 0.05s), so
 # route dense-enough systems to dpotrf.
 _DENSE_NE_CUT = 0.2     # nnz(M)/m^2 above which the dense path is used
-_DENSE_NE_MAX_M = 4096  # dense m x m memory cap (~128 MB f64)
+_DENSE_NE_MAX_M = 11585  # dense m x m memory cap (~1 GB f64)
 
 # Above this row count, node-arc incidence A routes the normal equations to
 # the tree-preconditioned PCG (solvers/laplacian.py) instead of a direct
@@ -316,7 +316,12 @@ def ipm_solve(A, b, c, l, u,
 
     def _factor_ne(M, reg):
         nonlocal ne_fact
-        if sp.issparse(M) and M.shape[0] > _DENSE_NE_MAX_M:
+        # cached-symbolic path for SPARSE normal equations; dense-filling
+        # systems (nnz > cut) go to _factor_spd's LAPACK path while they
+        # fit the dense memory cap
+        if sp.issparse(M) and M.shape[0] > 4096 \
+                and (M.nnz <= _DENSE_NE_CUT * M.shape[0] ** 2
+                     or M.shape[0] > _DENSE_NE_MAX_M):
             if ne_fact is None:
                 from smart_crossover_tpu.solvers.ne_factor import (
                     NEFactorizer,
