@@ -139,18 +139,23 @@ def transport_simplex_packed(X, Bm, M, s, d,
         return idxs[kb], dmin, dmin >= -tol, cand
 
     def pivot_body(state):
-        P, dep, parent, pot, w, Xv, Bmk, cand, it, _ = state
+        P, dep, parent, pot, w, Xv, Bmk, cand, degen, it, _ = state
         u, v = pot[:S], pot[S:]
 
         if KB:
-            # multiple pricing: candidates against CURRENT potentials
+            # multiple pricing: candidates against CURRENT potentials.
+            # Long DEGENERATE runs fall back to full Dantzig passes —
+            # candidate-restricted selection can cycle on ties (observed:
+            # 20k pivots without convergence at 512^2), while the dense
+            # argmin's deterministic order empirically breaks them.
             ci_c = cand // D
             cj_c = cand % D
             safe = jnp.minimum(cand, SD - 1)
             rc_c = (M_flat[safe] - u[jnp.minimum(ci_c, S - 1)]
                     - v[jnp.minimum(cj_c, D - 1)])
             basic_c = Bmk.reshape(-1)[safe]
-            valid = (cand < SD) & ~basic_c & (rc_c < -tol)
+            valid = ((cand < SD) & ~basic_c & (rc_c < -tol)
+                     & (degen < 24))
 
             def use_cand(_):
                 k = jnp.argmin(jnp.where(valid, rc_c, 0.0))
@@ -266,11 +271,14 @@ def transport_simplex_packed(X, Bm, M, s, d,
         Xv = jnp.where(done, Xv, Xv_new)
         w = jnp.where(done, w, w_new)
         Bmk = jnp.where(done, Bmk, Bm_new)
-        return P, dep_next, parent, pot, w, Xv, Bmk, cand, \
+        degen = jnp.where(done, degen,
+                          jnp.where(theta <= jnp.asarray(1e-12, dtype),
+                                    degen + 1, 0))
+        return P, dep_next, parent, pot, w, Xv, Bmk, cand, degen, \
             it + (~done).astype(jnp.int32), done
 
     def outer_body(state):
-        P, dep, parent, pot, w, Xv, Bmk, cand, it, _ = state
+        P, dep, parent, pot, w, Xv, Bmk, cand, degen, it, _ = state
         # exact potential refresh from the (exactly re-keyed) tree costs
         _, _, pot = _chain(parent, w, K, dtype)
         u, v = pot[:S], pot[S:]
@@ -284,13 +292,14 @@ def transport_simplex_packed(X, Bm, M, s, d,
                            & (s_[-2] < max_pivots),
                 pivot_body, st)
 
-        state2 = (P, dep, parent, pot, w, Xv, Bmk, cand, it, done)
-        P, dep, parent, pot, w, Xv, Bmk, cand, it2, _ = run_chunk(state2)
+        state2 = (P, dep, parent, pot, w, Xv, Bmk, cand, degen, it, done)
+        P, dep, parent, pot, w, Xv, Bmk, cand, degen, it2, _ = \
+            run_chunk(state2)
         # chunk_done reflects drifted pricing; the NEXT outer round's
         # refreshed check decides actual optimality; refreshed potentials
         # invalidate stale candidates
         cand = jnp.full_like(cand, S * D)
-        return P, dep, parent, pot, w, Xv, Bmk, cand, it2, done
+        return P, dep, parent, pot, w, Xv, Bmk, cand, degen, it2, done
 
     def outer_cond(state):
         *_, it, done = state
@@ -298,8 +307,9 @@ def transport_simplex_packed(X, Bm, M, s, d,
 
     cand0 = jnp.full(max(KB, 1), SD, dtype=jnp.int32)
     state = (P0, dep0, parent0, jnp.zeros(V, dtype), w0, Xv0, Bm0,
-             cand0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    P, dep, parent, pot, w, Xv, Bmk, cand, pivots, done = \
+             cand0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(False))
+    P, dep, parent, pot, w, Xv, Bmk, cand, degen, pivots, done = \
         jax.lax.while_loop(outer_cond, outer_body, state)
 
     # reconstruct the dense plan from (parent, Xv) ONCE — a V-element 2-D
