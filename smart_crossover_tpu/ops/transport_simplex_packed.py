@@ -139,32 +139,36 @@ def transport_simplex_packed(X, Bm, M, s, d,
         return idxs[kb], dmin, dmin >= -tol, cand
 
     def pivot_body(state):
-        P, dep, parent, pot, w, Xv, Bmk, cand, degen, it, _ = state
+        P, dep, parent, pot, w, Xv, Bmk, cand, dref, degen, it, _ = state
         u, v = pot[:S], pot[S:]
 
         if KB:
             # multiple pricing: candidates against CURRENT potentials.
-            # Long DEGENERATE runs fall back to full Dantzig passes —
-            # candidate-restricted selection can cycle on ties (observed:
-            # 20k pivots without convergence at 512^2), while the dense
-            # argmin's deterministic order empirically breaks them.
+            # Two safeguards against candidate-driven cycling (observed:
+            # 20k pivots without convergence at 512^2): (1) long
+            # DEGENERATE runs force full Dantzig passes; (2) a candidate
+            # must beat a FRACTION of the last full-pass minimum — in f32
+            # the incremental potentials carry ~1e-6 noise, and cells
+            # with noise-level reduced costs otherwise re-enter forever.
             ci_c = cand // D
             cj_c = cand % D
             safe = jnp.minimum(cand, SD - 1)
             rc_c = (M_flat[safe] - u[jnp.minimum(ci_c, S - 1)]
                     - v[jnp.minimum(cj_c, D - 1)])
             basic_c = Bmk.reshape(-1)[safe]
-            valid = ((cand < SD) & ~basic_c & (rc_c < -tol)
+            thresh = jnp.minimum(-tol, 0.25 * dref)
+            valid = ((cand < SD) & ~basic_c & (rc_c < thresh)
                      & (degen < 24))
 
             def use_cand(_):
                 k = jnp.argmin(jnp.where(valid, rc_c, 0.0))
-                return cand[k], rc_c[k], jnp.asarray(False), cand
+                return cand[k], rc_c[k], jnp.asarray(False), cand, dref
 
             def full(_):
-                return _price_full(Bmk, u, v)
+                fl, dm, dn, cd = _price_full(Bmk, u, v)
+                return fl, dm, dn, cd, dm
 
-            flat, dmin, done, cand = jax.lax.cond(
+            flat, dmin, done, cand, dref = jax.lax.cond(
                 jnp.any(valid), use_cand, full, None)
         else:
             flat, dmin, done, _ = _price_full(Bmk, u, v)
@@ -274,11 +278,11 @@ def transport_simplex_packed(X, Bm, M, s, d,
         degen = jnp.where(done, degen,
                           jnp.where(theta <= jnp.asarray(1e-12, dtype),
                                     degen + 1, 0))
-        return P, dep_next, parent, pot, w, Xv, Bmk, cand, degen, \
+        return P, dep_next, parent, pot, w, Xv, Bmk, cand, dref, degen, \
             it + (~done).astype(jnp.int32), done
 
     def outer_body(state):
-        P, dep, parent, pot, w, Xv, Bmk, cand, degen, it, _ = state
+        P, dep, parent, pot, w, Xv, Bmk, cand, dref, degen, it, _ = state
         # exact potential refresh from the (exactly re-keyed) tree costs
         _, _, pot = _chain(parent, w, K, dtype)
         u, v = pot[:S], pot[S:]
@@ -292,14 +296,16 @@ def transport_simplex_packed(X, Bm, M, s, d,
                            & (s_[-2] < max_pivots),
                 pivot_body, st)
 
-        state2 = (P, dep, parent, pot, w, Xv, Bmk, cand, degen, it, done)
-        P, dep, parent, pot, w, Xv, Bmk, cand, degen, it2, _ = \
+        state2 = (P, dep, parent, pot, w, Xv, Bmk, cand, dref, degen,
+                  it, done)
+        P, dep, parent, pot, w, Xv, Bmk, cand, dref, degen, it2, _ = \
             run_chunk(state2)
         # chunk_done reflects drifted pricing; the NEXT outer round's
         # refreshed check decides actual optimality; refreshed potentials
         # invalidate stale candidates
         cand = jnp.full_like(cand, S * D)
-        return P, dep, parent, pot, w, Xv, Bmk, cand, degen, it2, done
+        return P, dep, parent, pot, w, Xv, Bmk, cand, dref, degen, it2, \
+            done
 
     def outer_cond(state):
         *_, it, done = state
@@ -307,9 +313,9 @@ def transport_simplex_packed(X, Bm, M, s, d,
 
     cand0 = jnp.full(max(KB, 1), SD, dtype=jnp.int32)
     state = (P0, dep0, parent0, jnp.zeros(V, dtype), w0, Xv0, Bm0,
-             cand0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(False))
-    P, dep, parent, pot, w, Xv, Bmk, cand, degen, pivots, done = \
+             cand0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    P, dep, parent, pot, w, Xv, Bmk, cand, dref, degen, pivots, done = \
         jax.lax.while_loop(outer_cond, outer_body, state)
 
     # reconstruct the dense plan from (parent, Xv) ONCE — a V-element 2-D
