@@ -96,6 +96,10 @@ def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
 
         lps = optlp_scale_suite(num_per_family=num_per_family,
                                 scale=scale)
+        # cheap families first (staircase/multicommodity ori finish in
+        # minutes; cover's cold crossover can take ~1h each) so partial
+        # runs maximise instance coverage
+        lps.sort(key=lambda lp: (lp.name.startswith("cover"), lp.name))
         if max_instances:
             lps = lps[:max_instances]
         instances = [(lp.name, (lambda _lp=lp: _lp)) for lp in lps]
