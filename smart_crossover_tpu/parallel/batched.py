@@ -129,7 +129,14 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
         # the per-pivot (V,V) lifting rounds dominate (>= 256^2, and the
         # only engine worth running at 1024^2 — BENCH.md round 3)
         if mesh is None and on_tpu() and max(Sq, Dq) <= 1024:
-            engine = "parent" if max(Sq, Dq) < 256 else "anc"
+            # round-4 head-to-heads (BENCH.md): parent < 256^2,
+            # anc 256^2..512^2, the packed-bitmask engine from 784^2
+            if max(Sq, Dq) < 256:
+                engine = "parent"
+            elif max(Sq, Dq) <= 512:
+                engine = "anc"
+            else:
+                engine = "packed"
         else:
             engine = "host"
     if engine in ("device", "parent", "anc", "packed", "mask") \
