@@ -77,8 +77,13 @@ def run_perturb_algorithm(lp: GeneralLP,
             # certify='off': an INFEASIBLE/UNBOUNDED perturbed subproblem is
             # an EXPECTED outcome handled by the gamma-shrink retry below —
             # exact ray extraction there would be pure overhead
+            # timeLimit 900: a subproblem whose crossover crawls signals a
+            # bad face estimate; the gamma-shrink retry below then fixes
+            # more variables and re-solves a SMALLER subproblem — far
+            # cheaper than letting one attempt burn the full 3600 s budget
             settings=SolverSettings(presolve="on", crossover="on",
                                     barrierMaxIters=60, certify="off",
+                                    timeLimit=900.0,
                                     log_file=log_file),
             warm_start_solution=(
                 perturb_manager.get_subx(barrier_output.x),
