@@ -139,7 +139,7 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
                 engine = "packed"
         else:
             engine = "host"
-    if engine in ("device", "parent", "anc", "packed", "mask") \
+    if engine in ("device", "parent", "anc", "packed", "mask", "mega") \
             and mesh is None:
         from smart_crossover_tpu.network_methods.certify import (
             certify_ot_basis_batch,
@@ -312,7 +312,7 @@ def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
     pivot_fn = {"parent": transport_simplex_parent,
                 "anc": transport_simplex_anc,
                 "packed": transport_simplex_packed,
-                "mask": transport_simplex}[engine]
+                "mask": transport_simplex}.get(engine)
 
     def one(s_, d_, M_):
         X0, push_iters, _ = tnet_single(s_, d_, M_, reg, sinkhorn_iters)
@@ -326,6 +326,24 @@ def batched_tnet_exact_device(s, d, M, reg: float = 0.005,
     d = jnp.asarray(d)
     M = jnp.asarray(M)
     B, S, D = M.shape
+
+    if engine == "mega":
+        # the Pallas megakernel batches internally (grid over instances);
+        # only the warm-start pipeline is vmapped
+        from smart_crossover_tpu.ops.transport_simplex_mega import (
+            batched_transport_simplex_mega,
+        )
+
+        def warm(s_, d_, M_):
+            X0, push_iters, _ = tnet_single(s_, d_, M_, reg, sinkhorn_iters)
+            support = (X0 > 1e-12).astype(M_.dtype)
+            return X0, boruvka_bipartite_mst(support), push_iters
+
+        X0, Bm0, push = jax.vmap(warm)(s, d, M)
+        X, Bm2, pivots, optimal = batched_transport_simplex_mega(
+            X0, Bm0, M, max_pivots=max_pivots)
+        return (X, jnp.sum(X * M, axis=(1, 2)), push, pivots, optimal,
+                Bm2)
     if chunk_b is None:
         budget = 6 * 1024 * 1024
         per_inst = 4 * S * D * jnp.dtype(M.dtype).itemsize  # ~4 dense bufs
