@@ -59,7 +59,7 @@ def main():
     for n in sizes:
         s, d, M = make_batch(B, n, n)
         row = {"n": n}
-        for engine in ("packed", "anc", "parent", "mask"):
+        for engine in ("mega", "packed", "anc", "parent", "mask"):
             if engine == "mask" and n > 128:
                 row["mask"] = None  # known-slow; skip (STATUS.md #1)
                 continue

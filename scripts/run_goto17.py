@@ -14,7 +14,9 @@ On a TPU backend the warm start runs the device arc-list PDHG
 (solvers/pdhg_mcf.py, Halpern mode, ~5 ms/iteration at 786k arcs on the
 degree-regular instances); elsewhere the host scipy PDHG core.
 
-Usage: python scripts/run_goto17.py [width] [n_seeds] [regular]  (default 362 3 1)
+Usage: python scripts/run_goto17.py [width] [n_seeds] [regular] [warm_iters]
+       (default 362 3 1 5000; warm_iters=0 skips the cold baseline too,
+       for warm-start sweeps against a known cold figure)
 """
 from __future__ import annotations
 
@@ -47,6 +49,9 @@ def main():
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 362
     n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     regular = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
+    warm_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 5000
+    run_cold = warm_iters >= 0
+    warm_iters = abs(warm_iters) or 5000
     on_tpu = jax.default_backend() == "tpu"
     rows = []
     for seed in range(42, 42 + n_seeds):
@@ -56,11 +61,17 @@ def main():
         print(f"seed={seed}: {m} nodes, {n} arcs", flush=True)
 
         # --- cold native network simplex ---------------------------------
-        t0 = time.perf_counter()
-        cold = solve_mcf(mcf, method="network_simplex")
-        cold_dt = time.perf_counter() - t0
-        print(f"  cold core: {cold.status} obj={cold.obj_val:.6e} "
-              f"pivots={cold.iter_count} {cold_dt:.1f}s", flush=True)
+        if run_cold:
+            t0 = time.perf_counter()
+            cold = solve_mcf(mcf, method="network_simplex")
+            cold_dt = time.perf_counter() - t0
+            print(f"  cold core: {cold.status} obj={cold.obj_val:.6e} "
+                  f"pivots={cold.iter_count} {cold_dt:.1f}s", flush=True)
+        else:
+            class _C:
+                obj_val = float("nan")
+                iter_count = 0
+            cold, cold_dt = _C(), float("nan")
 
         # --- first-order warm start (sparse PDHG, loose tol) + CNET_MCF ---
         from smart_crossover_tpu.solvers.settings import SolverSettings
@@ -80,29 +91,33 @@ def main():
             warm = solve_mcf(mcf, method="first_order",
                              settings=SolverSettings(crossover="off",
                                                      barrierTol=1e-4,
-                                                     firstOrderMaxIters=5000))
+                                                     firstOrderMaxIters=warm_iters))
         warm_dt = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = network_crossover(x=warm.x, mcf=mcf, method="cnet_mcf")
         cx_dt = time.perf_counter() - t0
-        ok = abs(out.obj_val - cold.obj_val) <= 1e-8 * (1 + abs(cold.obj_val))
+        ok = (not run_cold) or (
+            abs(out.obj_val - cold.obj_val)
+            <= 1e-8 * (1 + abs(cold.obj_val)))
         print(f"  PDHG warm: {warm_dt:.1f}s; CNET_MCF: {out.status} "
               f"obj={out.obj_val:.6e} pivots={out.iter_count} {cx_dt:.1f}s "
               f"match={ok}", flush=True)
         rows.append({
-            "seed": seed, "nodes": m, "arcs": n,
-            "cold_s": round(cold_dt, 2), "cold_pivots": int(cold.iter_count),
+            "seed": seed, "nodes": m, "arcs": n, "warm_iters": warm_iters,
+            "obj": out.obj_val,
+            "cold_s": round(cold_dt, 2) if run_cold else None,
+            "cold_pivots": int(cold.iter_count),
             "warm_s": round(warm_dt, 2),
             "crossover_s": round(cx_dt, 2),
             "crossover_pivots": int(out.iter_count),
             "obj_match": bool(ok),
         })
 
-    geo = lambda k: float(np.exp(np.mean([np.log(max(r[k], 1e-9))
+    geo = lambda k: float(np.exp(np.mean([np.log(max(r[k] or 1e-9, 1e-9))
                                           for r in rows])))
     print(json.dumps({
         "experiment": "goto17_class_mcf",
-        "geo_cold_s": round(geo("cold_s"), 2),
+        "geo_cold_s": round(geo("cold_s"), 2) if run_cold else None,
         "geo_crossover_s": round(geo("crossover_s"), 2),
         "geo_cold_pivots": round(geo("cold_pivots"), 1),
         "geo_crossover_pivots": round(geo("crossover_pivots"), 1),
