@@ -211,6 +211,13 @@ def _mega_kernel(S, D, tol, max_pivots, refresh,
             src_i = jnp.where(dep_l >= dep_cl, nes_i, 0)
             src_i = jnp.where(cl_l, 0, src_i)
             Xvu_l = Xv_l + sign_l * theta
+            # (V, 4) re-key values, src-masked: one MXU matmul per block
+            # replaces four masked reductions (and their register pressure)
+            src_f = src_i.astype(f32).reshape(V, 1)
+            vals4 = jnp.concatenate(
+                [Xvu_l.reshape(V, 1), w_l.reshape(V, 1),
+                 vids_l.astype(f32).reshape(V, 1),
+                 jnp.ones((V, 1), f32)], axis=1) * src_f
             # entering tree-cell cost: the EXACT M[ei, ej]
             m_enter = _msum_f(_row_f32(M_s, ei), js_l == ej)
             row_shift = jnp.where(on_x, dmin, -dmin).astype(f32)
@@ -240,15 +247,20 @@ def _mega_kernel(S, D, tol, max_pivots, refresh,
                 dep_s[rows, :] = jnp.sum(nw, axis=1, keepdims=True) - 1
 
                 # path re-key: values move child -> old parent along the
-                # reversed segment (compare-reduce replaces the scatter)
+                # reversed segment; targets along a root path are distinct,
+                # so each row of E has at most one nonzero and the matmul
+                # gathers exactly (no rounding)
                 t_ids = t0 + tid_sub
-                E_i = jnp.where(parent_l == t_ids, src_i, 0)
-                E_f = E_i.astype(f32)
-                hit_i = jnp.sum(E_i, axis=1, keepdims=True)
+                E_f = jnp.where(parent_l == t_ids, 1.0, 0.0).astype(f32)
+                moved = jax.lax.dot_general(
+                    E_f, vals4, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)     # (RB, 4)
+                hit_i = moved[:, 3:4].astype(jnp.int32)
                 hit = hit_i > 0
-                child = jnp.sum(E_i * vids_l, axis=1, keepdims=True)
-                mXv = jnp.sum(E_f * Xvu_l, axis=1, keepdims=True)
-                mw = jnp.sum(E_f * w_l, axis=1, keepdims=True)
+                child = moved[:, 2:3].astype(jnp.int32)
+                mXv = moved[:, 0:1]
+                mw = moved[:, 1:2]
 
                 # block-local sublane vectors from the anc scratch + iota
                 ax_b = ax_s[rows, :]
