@@ -50,7 +50,7 @@ def main():
     n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     regular = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
     warm_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 5000
-    run_cold = warm_iters >= 0
+    run_cold = warm_iters > 0          # 0 or negative: skip the cold baseline
     warm_iters = abs(warm_iters) or 5000
     on_tpu = jax.default_backend() == "tpu"
     rows = []
@@ -82,7 +82,7 @@ def main():
             from smart_crossover_tpu.solvers.pdhg_mcf import pdhg_mcf_device
 
             wx, wy, wit, wdone, wrt = pdhg_mcf_device(
-                mcf, tol=1e-4, max_iters=5000, mode="halpern",
+                mcf, tol=1e-4, max_iters=warm_iters, mode="halpern",
                 dtype=jnp.float32)
             class _W:  # minimal Output shim
                 x = wx
@@ -96,7 +96,7 @@ def main():
         t0 = time.perf_counter()
         out = network_crossover(x=warm.x, mcf=mcf, method="cnet_mcf")
         cx_dt = time.perf_counter() - t0
-        ok = (not run_cold) or (
+        ok = None if not run_cold else bool(
             abs(out.obj_val - cold.obj_val)
             <= 1e-8 * (1 + abs(cold.obj_val)))
         print(f"  PDHG warm: {warm_dt:.1f}s; CNET_MCF: {out.status} "
@@ -106,7 +106,7 @@ def main():
             "seed": seed, "nodes": m, "arcs": n, "warm_iters": warm_iters,
             "obj": out.obj_val,
             "cold_s": round(cold_dt, 2) if run_cold else None,
-            "cold_pivots": int(cold.iter_count),
+            "cold_pivots": int(cold.iter_count) if run_cold else None,
             "warm_s": round(warm_dt, 2),
             "crossover_s": round(cx_dt, 2),
             "crossover_pivots": int(out.iter_count),
@@ -115,15 +115,17 @@ def main():
 
     geo = lambda k: float(np.exp(np.mean([np.log(max(r[k] or 1e-9, 1e-9))
                                           for r in rows])))
-    print(json.dumps({
+    summary = {
         "experiment": "goto17_class_mcf",
-        "geo_cold_s": round(geo("cold_s"), 2) if run_cold else None,
         "geo_crossover_s": round(geo("crossover_s"), 2),
-        "geo_cold_pivots": round(geo("cold_pivots"), 1),
         "geo_crossover_pivots": round(geo("crossover_pivots"), 1),
-        "all_match": all(r["obj_match"] for r in rows),
         "rows": rows,
-    }))
+    }
+    if run_cold:
+        summary["geo_cold_s"] = round(geo("cold_s"), 2)
+        summary["geo_cold_pivots"] = round(geo("cold_pivots"), 1)
+        summary["all_match"] = all(r["obj_match"] for r in rows)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

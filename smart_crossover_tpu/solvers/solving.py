@@ -379,16 +379,18 @@ def _solve_lp_barrier(glp: GeneralLP, settings: SolverSettings,
     l_std, u_std = glp.get_standard_bounds()
     x_std = glp.get_standard_x(x_bar)
     vst = _crossover_statuses(x_std, l_std, u_std)
-    # crossover cleanup runs Dantzig regardless of simplexPricing: on the
-    # massively degenerate all-basic starts a vendor-style crossover
+    # crossover cleanup defaults to Dantzig when simplexPricing is unset: on
+    # the massively degenerate all-basic starts a vendor-style crossover
     # produces, Devex pays +1 BTRAN and +1 pricing matvec per pivot for no
     # pivot reduction (measured 139 s vs 90 s at 31k pivots on a 6k x 26k
-    # cover instance — same pivot count to 0.4%)
+    # cover instance — same pivot count to 0.4%).  An explicit
+    # simplexPricing='SE' still buys Devex here.
+    cx_pricing = "devex" if settings.simplexPricing == "SE" else "dantzig"
     sres = primal_simplex(A_std, glp.b, c_std, l_std, u_std, vstatus=vst,
                           max_iter=settings.simplexMaxIters,
                           tol=settings.optimalityTol,
                           time_limit=settings.timeLimit,
-                          pricing="dantzig")
+                          pricing=cx_pricing)
     basis = _vstatus_to_basis(glp, sres.vstatus, sres.row_basic)
     runtime = res.runtime + sres.runtime
     if sres.status != "OPTIMAL":

@@ -245,3 +245,40 @@ def test_ne_offload_disabled_off_tpu():
 
     A = sp.random(2000, 4000, density=0.01, format="csr")
     assert maybe_device_ne(A) is None   # CPU backend / env gate
+
+
+def test_ipm_wide_free_variable_set():
+    """>128 free columns take the wide_free branch (plain normal equations
+    with the d-cap pinned at 1e10 throughout, ipm.py) rather than the
+    bordered/augmented path; it must still reach OPTIMAL with tight
+    residuals vs the HiGHS oracle (ADVICE r4 item 4)."""
+    import scipy.sparse as sp
+    from scipy.optimize import linprog
+
+    from smart_crossover_tpu.solvers.ipm import ipm_solve
+
+    rng = np.random.default_rng(11)
+    m, n = 250, 1000
+    nnz = 8 * n
+    A = sp.csr_matrix((rng.standard_normal(nnz),
+                       (rng.integers(0, m, nnz), rng.integers(0, n, nnz))),
+                      shape=(m, n)) + sp.eye(m, n, format="csr")
+    l = np.zeros(n)
+    u = np.full(n, np.inf)
+    free_idx = rng.choice(n, 200, replace=False)   # > the 128 gate
+    l[free_idx] = -np.inf
+    x0 = rng.uniform(0.2, 0.8, n)
+    x0[free_idx] = rng.uniform(-1.0, 1.0, 200)
+    b = np.asarray(A @ x0).ravel()
+    # bounded dual-feasible cost: zero margin on free columns
+    margin = np.abs(rng.standard_normal(n)) + 0.01
+    margin[free_idx] = 0.0
+    c = np.asarray(A.T @ rng.standard_normal(m)).ravel() + margin
+    res = ipm_solve(A, b, c, l, u, tol=1e-8)
+    assert res.status == "OPTIMAL"
+    pinf = np.linalg.norm(b - A @ res.x) / (1 + np.linalg.norm(b))
+    assert pinf < 1e-8, pinf
+    bounds = [(None if li == -np.inf else li, None) for li in l]
+    ref = linprog(c, A_eq=A.toarray(), b_eq=b, bounds=bounds, method="highs")
+    assert ref.status == 0
+    assert abs(res.obj_val - ref.fun) / (1 + abs(ref.fun)) < 1e-7
