@@ -39,6 +39,14 @@ def make(fam: str, scale: float):
         return lp_gen.multicommodity_lp(grid=max(int(42 * scale), 4),
                                         commodities=max(int(14 * scale), 2),
                                         seed=42)
+    if fam == "rail":
+        return lp_gen.scattered_cover_lp(m=max(int(20000 * scale), 40),
+                                         n=max(int(70000 * scale), 120),
+                                         seed=42)
+    if fam == "tran":
+        return lp_gen.transport_windowed_lp(
+            supplies=max(int(15000 * scale), 24),
+            demands=max(int(15000 * scale), 24), seed=42)
     raise SystemExit(f"unknown family {fam}")
 
 

@@ -226,24 +226,106 @@ def multicommodity_lp(grid: int = 42, commodities: int = 14,
     return GeneralLP(A=A, b=b, c=c, l=l, u=u, sense=sense, name=name)
 
 
+def scattered_cover_lp(m: int = 20000, n: int = 70000,
+                       len_lo: int = 4, len_hi: int = 12,
+                       frac_ineq: float = 0.6, frac_free: float = 0.0,
+                       frac_boxed: float = 0.7, seed: int = 0,
+                       name: str | None = None) -> GeneralLP:
+    """Set-covering LP with SCATTERED (non-local) short columns — the
+    rail-family analog (reference data/README.md:12-23).  Unlike
+    windowed_cover_lp the covered rows are drawn uniformly at random, so
+    A D A' has expander structure: no RCM band exists and the factorizer
+    must take its general sparse-LU path.  Exercises the regime where the
+    cover structure itself (massive dual degeneracy) makes the plain
+    crossover expensive."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(len_lo, len_hi + 1, n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    indices = rng.integers(0, m, int(indptr[-1]))
+    data = np.ones(indices.size)
+    flip = rng.uniform(size=n) < 0.15
+    col_ids = np.repeat(np.arange(n), lens)
+    data[flip[col_ids]] = -1.0
+    A = sp.csc_matrix((data, indices, indptr), shape=(m, n))
+    A.sum_duplicates()
+    A = sp.hstack([A, 2.0 * sp.eye(m, format="csr")], format="csr")
+    n_tot = n + m
+    l, u, free = _bounds(rng, n_tot, frac_free, frac_boxed)
+    if name is None:
+        name = f"rail_{m}x{n_tot}_s{seed}"
+    return _finish_lp(rng, A, l, u, free, frac_ineq, name)
+
+
+def transport_windowed_lp(supplies: int = 15000, demands: int = 15000,
+                          degree: int = 7, frac_boxed: float = 0.6,
+                          seed: int = 0,
+                          name: str | None = None) -> GeneralLP:
+    """Capacitated transportation LP on a geometric bipartite graph — the
+    degme-family analog: supply i connects to a window of demands around
+    its own position, so the normal equations are a banded bipartite
+    Laplacian.  Transportation polytopes are massively primal-degenerate
+    (many basic variables at bounds), the regime where vendor crossover
+    stalls and the perturbation's unique-vertex trick pays."""
+    rng = np.random.default_rng(seed)
+    S, D = supplies, demands
+    # arcs: supply i -> demands centered at i * D / S
+    centers = (np.arange(S, dtype=np.float64) * D / S).astype(np.int64)
+    offs = rng.integers(-2 * degree, 2 * degree + 1, (S, degree))
+    cols_d = (centers[:, None] + offs) % D
+    tails = np.repeat(np.arange(S), degree)
+    heads = cols_d.ravel()
+    n = tails.size
+    rows = np.concatenate([tails, S + heads])
+    cols = np.concatenate([np.arange(n), np.arange(n)])
+    vals = np.concatenate([np.ones(n), -np.ones(n)])
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(S + D, n))
+    # feasible interior flow, then marginals from it
+    x0 = rng.uniform(0.5, 2.0, n)
+    b = np.asarray(A @ x0).ravel()
+    sense = np.array(["="] * (S + D))
+    l = np.zeros(n)
+    u = np.full(n, np.inf)
+    boxed = rng.uniform(size=n) < frac_boxed
+    u[boxed] = x0[boxed] + rng.uniform(0.5, 3.0, int(boxed.sum()))
+    # integer-ish costs with heavy ties -> dual degeneracy like real
+    # transportation instances
+    c = rng.integers(1, 20, n).astype(np.float64)
+    if name is None:
+        name = f"tran_{S + D}x{n}_s{seed}"
+    return GeneralLP(A=A, b=b, c=c, l=l, u=u, sense=sense, name=name)
+
+
 def optlp_scale_suite(num_per_family: int = 4, base_seed: int = 42,
-                      scale: float = 1.0) -> list[GeneralLP]:
+                      scale: float = 1.0,
+                      families: tuple = ("stair", "cover", "mcom",
+                                         "rail", "tran")) -> list[GeneralLP]:
     """Reference-class suite: >=30k rows / ~1e5 cols / ~1e6 nnz per
-    instance across the three structure families (VERDICT r3 item 1);
-    ``scale`` shrinks every dimension for smoke tests."""
+    instance across five structure families (VERDICT r3 item 1 / r4
+    item 8); ``scale`` shrinks every dimension for smoke tests."""
+    makers = {
+        "stair": lambda s: staircase_lp(
+            periods=max(int(60 * scale), 2),
+            rows_per_period=max(int(500 * scale), 8),
+            vars_per_period=max(int(1700 * scale), 16), seed=s),
+        "cover": lambda s: windowed_cover_lp(
+            m=max(int(30000 * scale), 40),
+            n=max(int(100000 * scale), 120), seed=s),
+        "mcom": lambda s: multicommodity_lp(
+            grid=max(int(42 * scale), 4),
+            commodities=max(int(14 * scale), 2), seed=s),
+        "rail": lambda s: scattered_cover_lp(
+            m=max(int(20000 * scale), 40),
+            n=max(int(70000 * scale), 120), seed=s),
+        "tran": lambda s: transport_windowed_lp(
+            supplies=max(int(15000 * scale), 24),
+            demands=max(int(15000 * scale), 24), seed=s),
+    }
     out = []
     for k in range(num_per_family):
         s = base_seed + k
-        out.append(staircase_lp(
-            periods=max(int(60 * scale), 2),
-            rows_per_period=max(int(500 * scale), 8),
-            vars_per_period=max(int(1700 * scale), 16), seed=s))
-        out.append(windowed_cover_lp(
-            m=max(int(30000 * scale), 40),
-            n=max(int(100000 * scale), 120), seed=s))
-        out.append(multicommodity_lp(
-            grid=max(int(42 * scale), 4),
-            commodities=max(int(14 * scale), 2), seed=s))
+        for fam in families:
+            out.append(makers[fam](s))
     return out
 
 

@@ -229,7 +229,11 @@ def get_projector_Xc(lp: GeneralLP, x: np.ndarray) -> np.ndarray:
     A_nf = lp.get_nonfree_var_matrix()
     A_f = lp.get_free_var_matrix()
     c_std = lp.get_standard_c()
-    trans, _ = splinalg.cg(A_f.T @ A_f, c_std[free], rtol=1e-8, maxiter=1000)
+    from smart_crossover_tpu.utils.threads import _tp_limits
+
+    with _tp_limits(limits=1, user_api="blas"):   # BLAS1-only CG loop
+        trans, _ = splinalg.cg(A_f.T @ A_f, c_std[free], rtol=1e-8,
+                               maxiter=1000)
     c_nf = c_std[nonfree] - A_nf.T @ (A_f @ trans)
     return apply_projector_with_free(A_nf @ sp.diags(xx_nf),
                                      xx_nf * c_nf, A_f)

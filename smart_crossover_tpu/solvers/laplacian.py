@@ -28,6 +28,11 @@ import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
+# PCG is pure BLAS1 (ddot/axpy per iteration): threaded OpenBLAS pool
+# sync costs ~12 ms per 131k ddot on small hosts (utils/threads.py)
+from smart_crossover_tpu.utils.threads import single_thread_blas as \
+    _single_thread_blas
+
 
 @dataclass
 class NetworkStructure:
@@ -221,6 +226,7 @@ def make_tree_pcg_ne_solver(ns: NetworkStructure, A, AT, d: np.ndarray,
             p = z + beta * p
         return x
 
+    @_single_thread_blas
     def solve(rhs):
         """Solve to relative tol AND (when set) absolute residual abs_tol.
 

@@ -20,10 +20,19 @@ import scipy.sparse.linalg as spla
 import jax
 import jax.numpy as jnp
 
+from smart_crossover_tpu.utils.threads import single_thread_blas as \
+    _single_thread_blas
+
 
 # --------------------------------------------------------------------------
 # host (scipy) path
 # --------------------------------------------------------------------------
+# Both Krylov projectors run under a 1-thread BLAS limit: each CG/MINRES
+# iteration is a couple of sparse matvecs (scipy, unthreaded) plus thin
+# BLAS1 ddots/axpys where threaded OpenBLAS pays its pool sync per call —
+# ~12 ms vs ~7 us per 100k ddot measured on a 4-core host, i.e. tens of
+# seconds over a 1000-iteration solve.
+@_single_thread_blas
 def apply_projector(Y, v, tol: float = 1e-8, max_iter: int = 1000) -> np.ndarray:
     """Project v onto the null space of Y via CG on YY' (host, sparse)."""
     Y = sp.csr_matrix(Y)
@@ -39,6 +48,7 @@ def apply_projector(Y, v, tol: float = 1e-8, max_iter: int = 1000) -> np.ndarray
     return v - Y.T @ z
 
 
+@_single_thread_blas
 def apply_projector_with_free(Y, v, A_f, tol: float = 1e-6,
                               max_iter: int = 2000) -> np.ndarray:
     """Least-squares projection with unpenalised free columns.

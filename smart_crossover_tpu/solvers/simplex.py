@@ -29,6 +29,11 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 from scipy.sparse.csgraph import maximum_bipartite_matching
 
+# the pivot loop is all BLAS1 (eta-sweep ddot/axpy): threaded OpenBLAS
+# pays pool sync per call — ~0.2 s/pivot at optLP scale (utils/threads.py)
+from smart_crossover_tpu.utils.threads import single_thread_blas as \
+    _single_thread_blas
+
 ST_BASIC = 0
 ST_LOWER = -1
 ST_UPPER = -2
@@ -117,6 +122,7 @@ class SimplexResult:
     fallback: bool = False       # dual_simplex only: primal finisher was used
 
 
+@_single_thread_blas
 def primal_simplex(A, b, c, l, u,
                    vstatus: np.ndarray | None = None,
                    max_iter: int = 200_000,
@@ -400,6 +406,7 @@ def _repair_basis(Aext: sp.csc_matrix, candidates: np.ndarray, m: int, n: int
     return np.arange(n, n + m, dtype=np.int64)  # all-artificial fallback
 
 
+@_single_thread_blas
 def dual_simplex(A, b, c, l, u,
                  vstatus: np.ndarray,
                  max_iter: int = 200_000,
