@@ -235,13 +235,26 @@ def sharded_batched_tnet_exact_device(mesh, s, d, M, reg: float = 0.005,
     no cross-instance collectives, so scaling is embarrassingly parallel
     across chips."""
     shard = NamedSharding(mesh, P("batch"))
-    fn = jax.jit(
-        lambda s_, d_, M_: batched_tnet_exact_device(
-            s_, d_, M_, reg=reg, sinkhorn_iters=sinkhorn_iters,
-            max_pivots=max_pivots, engine=engine,
-            chunk_b=s_.shape[0]),          # vmap path: no lax.map rechunk
-        in_shardings=(shard, shard, shard),
-        out_shardings=(shard,) * 6)
+    if engine == "mega":
+        # the megakernel is a pallas_call with a batch grid — not
+        # auto-partitionable under jit shardings, so shard_map hands each
+        # device its LOCAL batch slice and runs the kernel per shard
+        from jax.experimental.shard_map import shard_map
+
+        fn = jax.jit(shard_map(
+            lambda s_, d_, M_: batched_tnet_exact_device(
+                s_, d_, M_, reg=reg, sinkhorn_iters=sinkhorn_iters,
+                max_pivots=max_pivots, engine="mega"),
+            mesh=mesh, in_specs=(P("batch"),) * 3,
+            out_specs=(P("batch"),) * 6, check_rep=False))
+    else:
+        fn = jax.jit(
+            lambda s_, d_, M_: batched_tnet_exact_device(
+                s_, d_, M_, reg=reg, sinkhorn_iters=sinkhorn_iters,
+                max_pivots=max_pivots, engine=engine,
+                chunk_b=s_.shape[0]),      # vmap path: no lax.map rechunk
+            in_shardings=(shard, shard, shard),
+            out_shardings=(shard,) * 6)
     s = jax.device_put(s, shard)
     d = jax.device_put(d, shard)
     M = jax.device_put(M, shard)
