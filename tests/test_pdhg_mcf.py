@@ -32,13 +32,46 @@ def test_incidence_op_matches_scipy(rng, gen, kw):
     op = IncidenceDeviceOp(mcf.tails, mcf.heads, m, dtype=jnp.float64)
     x = rng.standard_normal(n)
     y = rng.standard_normal(m)
+    nperm = (op.node_perm if op.node_perm is not None
+             else np.arange(m))          # N-order node relabeling
     xT = x[op.order_T]
     np.testing.assert_allclose(np.asarray(op @ jnp.asarray(xT)),
-                               A @ x, atol=1e-9)
-    aty = np.asarray(op.T @ jnp.asarray(y))
+                               (A @ x)[nperm], atol=1e-9)
+    aty = np.asarray(op.T @ jnp.asarray(y[nperm]))
     aty_orig = np.empty(n)
     aty_orig[op.order_T] = aty
     np.testing.assert_allclose(aty_orig, A.T @ y, atol=1e-9)
+
+
+def test_incidence_op_bucketed_irregular(rng):
+    """The bucketed path must handle extreme degree skew: isolated nodes,
+    degree-1 leaves, and one high-degree hub."""
+    import jax.numpy as jnp
+
+    m = 23
+    tails = np.array([0] * 9 + [1, 2, 3, 4, 4, 5, 5, 5, 6] + [7, 8],
+                     dtype=np.int64)
+    heads = np.array(list(range(10, 19)) + [0, 0, 1, 2, 3, 2, 6, 7, 8]
+                     + [9, 9], dtype=np.int64)
+    n = tails.size
+
+    import scipy.sparse as sp
+    rows = np.concatenate([heads, tails])
+    cols = np.concatenate([np.arange(n), np.arange(n)])
+    vals = np.concatenate([np.ones(n), -np.ones(n)])
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(m, n))
+
+    op = IncidenceDeviceOp(tails, heads, m, dtype=jnp.float64)
+    assert op.node_perm is not None
+    x = rng.standard_normal(n)
+    y = rng.standard_normal(m)
+    xT = x[op.order_T]
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(xT)),
+                               (A @ x)[op.node_perm], atol=1e-12)
+    aty = np.asarray(op.T @ jnp.asarray(y[op.node_perm]))
+    aty_orig = np.empty(n)
+    aty_orig[op.order_T] = aty
+    np.testing.assert_allclose(aty_orig, A.T @ y, atol=1e-12)
 
 
 def test_pdhg_mcf_device_converges_to_optimum(rng):
