@@ -161,7 +161,7 @@ def main():
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
-                    env=env, timeout=900, capture_output=True, text=True)
+                    env=env, timeout=1500, capture_output=True, text=True)
                 line = next((ln for ln in r.stdout.splitlines()
                              if ln.startswith("{")), None)
                 if r.returncode == 0 and line:
@@ -170,7 +170,7 @@ def main():
                 fallback_reason = (
                     f"device bench exited rc={r.returncode} without JSON")
             except subprocess.TimeoutExpired:
-                fallback_reason = "device bench timed out mid-run (900s)"
+                fallback_reason = "device bench timed out mid-run (1500s)"
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""   # disable the TPU plugin relay
     env["SCX_BENCH_FALLBACK_REASON"] = fallback_reason or "unknown"
@@ -271,6 +271,49 @@ def _run_bench():
         "min_reduced_cost": float(min(c.min_rcost for c in certs)),
         "median_pivots": int(np.median(np.asarray(piv))),
     }
+    if backend == "tpu" and os.environ.get("SCX_BENCH_SKIP_784") != "1":
+        # second row at the reference's actual MNIST scale (<=784x784,
+        # reference scripts/mnist2ot.py:30-40): certified-exact 784^2
+        # throughput vs the same CPU reference pipeline (VERDICT r4 item 3)
+        B7 = 16
+        s7_64, d7_64, M7_64 = make_batch(B7, 784, 784, seed=1)
+        s7 = s7_64.astype(np.float32)
+        d7 = d7_64.astype(np.float32)
+        M7 = M7_64.astype(np.float32)
+
+        def run7():
+            return batched_tnet_exact_device(s7, d7, M7, reg=reg,
+                                             sinkhorn_iters=iters,
+                                             max_pivots=20000)
+
+        out7 = run7()
+        float(np.asarray(out7[1]).sum())      # fetch-forced warmup
+        t7 = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out7 = run7()
+            jax.block_until_ready(out7)
+            t7.append(time.perf_counter() - t0)
+        dt7 = float(np.median(t7))
+        t0 = time.perf_counter()
+        certs7 = certify_ot_basis_batch(np.asarray(out7[5]), s7_64, d7_64,
+                                        M7_64)
+        cert7_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cpu_reference_pipeline(s7_64[0], d7_64[0], M7_64[0],
+                               reg=reg, sinkhorn_iters=iters)
+        cpu7_dt = time.perf_counter() - t0
+        ips7 = B7 / (dt7 + cert7_dt)
+        detail["mnist_784"] = {
+            "batch": B7,
+            "certified_instances_per_sec": round(ips7, 3),
+            "device_stage_instances_per_sec": round(B7 / dt7, 3),
+            "certify_host_s": round(cert7_dt, 4),
+            "cpu_reference_instances_per_sec": round(1.0 / cpu7_dt, 4),
+            "vs_cpu_reference": round(ips7 * cpu7_dt, 2),
+            "all_certified": bool(sum(c.ok for c in certs7) == B7),
+        }
+
     reason = os.environ.get("SCX_BENCH_FALLBACK_REASON")
     if backend != "tpu":
         detail["fallback"] = True

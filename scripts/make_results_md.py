@@ -7,9 +7,16 @@ aggregates (exp(mean(log(t+0.01))), timeouts filled at 3600 s), the
 ptb-vs-ori comparison, and the paper-style figures.
 
 Usage: python scripts/make_results_md.py RESULTS.jsonl [OUT.md] [FIGDIR]
+           [NETWORK.jsonl] [TOTAL.jsonl] [GOTO.json...]
+
+The optional extra stores append the network-crossover protocol table,
+the end-to-end ('total') protocol table, and GOTO-17 flagship summary
+rows, so ONE command regenerates the whole experiment report from the
+current stores (VERDICT r4 item 7).
 """
 from __future__ import annotations
 
+import json
 import sys
 from collections import defaultdict
 from pathlib import Path
@@ -17,8 +24,53 @@ from pathlib import Path
 import numpy as np
 
 
+def _store_section(title: str, proto: str, results: str) -> list[str]:
+    """Generic per-method summary table for a ResultStore."""
+    from smart_crossover_tpu.analysis import summarize, table
+    from smart_crossover_tpu.data import ResultStore
+
+    store = ResultStore(results)
+    if not list(store.rows()):
+        return []
+    return ["", f"# {title}", "", f"Protocol: {proto}", "",
+            "```", table(summarize(store)), "```", ""]
+
+
+def _goto_section(paths: list[str]) -> list[str]:
+    lines = ["", "# GOTO-17-class MCF flagship (131k nodes / 786k arcs)",
+             "",
+             "Protocol: `scripts/run_goto17.py` — instances written to and "
+             "re-read from DIMACS `.min` (reference scripts/min2mcf.py), "
+             "cold native network simplex vs PDHG warm start + CNET_MCF "
+             "(reference scripts/run_network_crossover.py:38).", "",
+             "| run | cold geo (s) | warm+crossover steady (s) | "
+             "warm+crossover incl. compile (s) | cold pivots | crossover "
+             "pivots | exact |",
+             "|---|---|---|---|---|---|---|"]
+    any_rows = False
+    for p in paths:
+        try:
+            txt = Path(p).read_text().strip().splitlines()
+            row = json.loads(next(ln for ln in reversed(txt)
+                                  if ln.startswith("{")))
+        except Exception:
+            continue
+        any_rows = True
+        tag = "regular" if row.get("regular") else "irregular"
+        lines.append(
+            f"| {tag} ({len(row['rows'])} seeds) "
+            f"| {row.get('geo_cold_s', '—')} "
+            f"| {row.get('geo_e2e_steady_s', '—')} "
+            f"| {row.get('geo_e2e_incl_compile_s', '—')} "
+            f"| {row.get('geo_cold_pivots', '—')} "
+            f"| {row.get('geo_crossover_pivots', '—')} "
+            f"| {row.get('all_match', '—')} |")
+    return lines + [""] if any_rows else []
+
+
 def main(results: str, out_md: str = "docs/RESULTS.md",
-         fig_dir: str = "docs/figures"):
+         fig_dir: str = "docs/figures", network: str | None = None,
+         total: str | None = None, *goto: str):
     from smart_crossover_tpu.analysis import compare, geo_mean
     from smart_crossover_tpu.data import ResultStore
 
@@ -45,9 +97,11 @@ def main(results: str, out_md: str = "docs/RESULTS.md",
         "Protocol: `scripts/run_perturb_crossover.py --generate optlp` — "
         "the reference's ori-vs-ptb experiment "
         "(reference scripts/run_perturb_crossover.py:44-97) on the "
-        "synthetic reference-scale suite (three structure families, "
-        "`data/lp_gen.py`), barrier tol 1e-10, timeouts filled at 3600 s "
-        "in the aggregates (reference visualization.py:184-200).",
+        "synthetic reference-scale suite (five structure families: "
+        "staircase, windowed cover, multicommodity, scattered cover, "
+        "windowed transportation; `data/lp_gen.py`), barrier tol 1e-10, "
+        "timeouts filled at 3600 s in the aggregates "
+        "(reference visualization.py:184-200).",
         "",
         "| instance | ptb wall (s) | ptb pivots | ori wall (s) | "
         "ori pivots | rel. obj gap |",
@@ -129,6 +183,22 @@ def main(results: str, out_md: str = "docs/RESULTS.md",
                   "", "![ratio](figures/perturb_optlp_ratio.png)", ""]
     except Exception as e:  # matplotlib optional
         lines.append(f"(figures skipped: {e})")
+
+    if network:
+        lines += _store_section(
+            "Network crossover protocol (MNIST-like OT pairs)",
+            "reference run_network_crossover 'crossover' mode — in-house "
+            "barrier produces x_bar; TNET/CNET cross over from it; "
+            "baseline is the in-house barrier+crossover on the same "
+            "instance.", network)
+    if total:
+        lines += _store_section(
+            "End-to-end ('total') protocol",
+            "reference run_network_crossover 'total' mode — first-order "
+            "warm start + crossover vs the cold native network simplex.",
+            total)
+    if goto:
+        lines += _goto_section(list(goto))
 
     Path(out_md).parent.mkdir(parents=True, exist_ok=True)
     Path(out_md).write_text("\n".join(lines) + "\n")
