@@ -295,7 +295,7 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
 
 def ipm_big(A, b, c, l, u, tol: float = 1e-8,
             device_tol: float = 1e-5, max_device_iters: int = 60,
-            max_refine_iters: int = 30):
+            max_refine_iters: int = 30, mesh=None):
     """Barrier-solve ONE large dense LP with the fleet machinery at B=1
     (VERDICT r3 item 7: the single-big-LP device story).
 
@@ -304,13 +304,19 @@ def ipm_big(A, b, c, l, u, tol: float = 1e-8,
     device f32 stage carries all bulk iterations on the MXU and the host
     pays the f64 GEMM only for the 2-5 endgame steps.
 
+    ``mesh``: a jax Mesh with a 'model' axis column-shards the device
+    stage — A is laid out (m, n/devices) per chip, the normal-equations
+    contraction over n becomes a psum XLA inserts, and the factorisation
+    stays replicated (VERDICT r4 item 5: shard the per-iteration NE
+    formation/GEMM over the mesh).
+
     Returns an IPMResult.
     """
     t0 = time.perf_counter()
     res = ipm_fleet(A[None], b[None], c[None], l[None], u[None], tol=tol,
                     device_tol=device_tol,
                     max_device_iters=max_device_iters,
-                    max_refine_iters=max_refine_iters)
+                    max_refine_iters=max_refine_iters, mesh=mesh)
     import datetime
 
     x, y = res.x[0], res.y[0]
@@ -374,13 +380,32 @@ def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        shard = NamedSharding(mesh, P("batch"))
-        fn = jax.jit(
-            lambda A_, b_, c_, l_, u_: ipm_dense_batched(
-                A_, b_, c_, l_, u_, tol=device_tol,
-                max_iters=max_device_iters, mu_exit=mu_exit),
-            in_shardings=(shard,) * 5, out_shardings=shard)
-        dev = fn(*(jax.device_put(a, shard) for a in dev_args))
+        model_size = dict(mesh.shape).get("model", 1)
+        if B < model_size and model_size > 1 and n % model_size == 0:
+            # single/large-LP regime: COLUMN-shard the device stage over
+            # the 'model' axis — each chip holds A's (m, n/devices) slab,
+            # the NE contraction over n becomes an XLA-inserted psum, and
+            # the (m, m) factor stays replicated (ipm_big's mesh path)
+            shA = NamedSharding(mesh, P(None, None, "model"))
+            shN = NamedSharding(mesh, P(None, "model"))
+            shR = NamedSharding(mesh, P())
+            fn = jax.jit(
+                lambda A_, b_, c_, l_, u_: ipm_dense_batched(
+                    A_, b_, c_, l_, u_, tol=device_tol,
+                    max_iters=max_device_iters, mu_exit=mu_exit),
+                in_shardings=(shA, shR, shN, shN, shN),
+                out_shardings=shR)
+            dev = fn(jax.device_put(dev_args[0], shA),
+                     jax.device_put(dev_args[1], shR),
+                     *(jax.device_put(a, shN) for a in dev_args[2:]))
+        else:
+            shard = NamedSharding(mesh, P("batch"))
+            fn = jax.jit(
+                lambda A_, b_, c_, l_, u_: ipm_dense_batched(
+                    A_, b_, c_, l_, u_, tol=device_tol,
+                    max_iters=max_device_iters, mu_exit=mu_exit),
+                in_shardings=(shard,) * 5, out_shardings=shard)
+            dev = fn(*(jax.device_put(a, shard) for a in dev_args))
     else:
         dev = ipm_dense_batched(
             *dev_args,
