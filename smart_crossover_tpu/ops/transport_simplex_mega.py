@@ -54,14 +54,25 @@ from smart_crossover_tpu.ops.transport_simplex_parent import (
     build_parent_from_mask,
 )
 
-RB = 128  # row-block size for all blocked (RB, V)/(RB, D) passes
+RB = 128   # padding granularity; also the default row-block size
+# Mosaic register-allocator spill scales with the row-block size: at
+# RB=128 the kernel needs ~119 MB of spill slots at V=1792 (compile
+# fails); RB=64 compiles at 784^2 (measured).  Larger V uses the
+# smaller block.
+_RB_SPILL_CAP_V = 1024
+
+
+def _pick_rb(V: int) -> int:
+    return 128 if V <= _RB_SPILL_CAP_V else 64
 
 
 def _rup(x: int, m: int = RB) -> int:
     return -(-x // m) * m
 
 
-def _mega_kernel(S, D, tol, max_pivots, refresh,
+def _mega_kernel(S, D, tol, max_pivots, refresh, RB,
+                 # SMEM scalars: [NBV, NBS] as RUNTIME values (see below)
+                 counts_smem,
                  # ANY-space (HBM) inputs, full arrays
                  M_hbm, N_hbm, Bm_hbm,
                  # VMEM-blocked vector inputs (1, V)
@@ -73,7 +84,7 @@ def _mega_kernel(S, D, tol, max_pivots, refresh,
                  ax_s, ay_s, sems):
     V = S + D
     NBV = V // RB
-    NBS = S // RB
+    NBS = S // RB  # RB divides S and V (padded to 128 multiples)
     b = pl.program_id(0)
     f32 = jnp.float32
     inf = jnp.asarray(jnp.inf, f32)
@@ -95,6 +106,15 @@ def _mega_kernel(S, D, tol, max_pivots, refresh,
     Xv_s[:, :] = Xv_in[0, :, :].reshape(V, 1)
     pot_s[:, :] = jnp.zeros((V, 1), f32)
 
+    # RUNTIME copies of the (static) block trip counts, read from SMEM: a
+    # concrete bound lets Mosaic fully unroll the scf.for bodies, and at
+    # V=1792 the unrolled pivot loop needs ~119 MB of register spill
+    # slots (measured — compile fails beyond 512^2).  A bound the
+    # compiler cannot constant-fold forces real loops (an x*0 arithmetic
+    # zero gets folded back to a constant and re-unrolled).
+    nbv_t = counts_smem[0]
+    nbs_t = counts_smem[1]
+
     tid_sub = jax.lax.broadcasted_iota(jnp.int32, (RB, 1), 0)   # 0..RB-1
     vids_l = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)     # 0..V-1
     js_l = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)       # 0..D-1
@@ -114,7 +134,7 @@ def _mega_kernel(S, D, tol, max_pivots, refresh,
             pot_s[rows, :] = acc * par_b
             return 0
 
-        jax.lax.fori_loop(0, NBV, blk, 0)
+        jax.lax.fori_loop(0, nbv_t, blk, 0)
 
     def _price():
         """Dantzig: (dmin, ei, ej) over non-basic cells (blocked)."""
@@ -138,7 +158,7 @@ def _mega_kernel(S, D, tol, max_pivots, refresh,
                     jnp.where(better, cloc, ej))
 
         return jax.lax.fori_loop(
-            0, NBS, blk, (inf, jnp.int32(0), jnp.int32(0)))
+            0, nbs_t, blk, (inf, jnp.int32(0), jnp.int32(0)))
 
     def _msum_f(vec_l, mask_l):
         return jnp.sum(jnp.where(mask_l, vec_l, 0.0))
@@ -293,7 +313,7 @@ def _mega_kernel(S, D, tol, max_pivots, refresh,
                 pot_s[rows, :] = pot_s[rows, :] + shift_b
                 return 0
 
-            jax.lax.fori_loop(0, NBV, blk, 0)
+            jax.lax.fori_loop(0, nbv_t, blk, 0)
 
             # pricing mask: entering in, leaving out (two row-group ops)
             _set_i8(Bm_s, ei, js_l == ej, 1)
@@ -332,7 +352,8 @@ def _mega_kernel(S, D, tol, max_pivots, refresh,
     cp_out.wait()
 
 
-@partial(jax.jit, static_argnames=("max_pivots", "refresh", "interpret"))
+@partial(jax.jit, static_argnames=("tol", "max_pivots", "refresh",
+                                   "interpret"))
 def batched_transport_simplex_mega(X, Bm, M, s=None, d=None,
                                    tol: float = 1e-7,
                                    max_pivots: int = 5000,
@@ -390,7 +411,10 @@ def batched_transport_simplex_mega(X, Bm, M, s=None, d=None,
     vec_spec = pl.BlockSpec((1, 1, V), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    kern = partial(_mega_kernel, Sp, Dp, tol, max_pivots, refresh)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    rb = _pick_rb(V)
+    counts = jnp.array([V // rb, Sp // rb], jnp.int32)
+    kern = partial(_mega_kernel, Sp, Dp, tol, max_pivots, refresh, rb)
     out_shapes = (
         jax.ShapeDtypeStruct((B, 1, V), jnp.int32),    # parent
         jax.ShapeDtypeStruct((B, 1, V), f32),          # Xv
@@ -405,7 +429,7 @@ def batched_transport_simplex_mega(X, Bm, M, s=None, d=None,
     parent1, Xv1, w1, pot1, Bm1, stats = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[any_spec, any_spec, any_spec,
+        in_specs=[smem_spec, any_spec, any_spec, any_spec,
                   vec_spec, vec_spec, vec_spec, vec_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -425,7 +449,7 @@ def batched_transport_simplex_mega(X, Bm, M, s=None, d=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(Mp, N0, mask0.astype(jnp.int8), parent0[:, None, :],
+    )(counts, Mp, N0, mask0.astype(jnp.int8), parent0[:, None, :],
       dep0[:, None, :], w0[:, None, :], Xv0[:, None, :])
 
     # ---- reconstruct dense plans / basis from (parent, Xv) -----------------

@@ -87,3 +87,27 @@ def test_mega_via_exact_pipeline():
                                              sinkhorn_iters=200)
     assert okh.all() and okm.all()
     np.testing.assert_allclose(objm, objh, rtol=1e-6, atol=1e-9)
+
+
+def test_mega_small_row_block_matches(monkeypatch):
+    """The RB=64 row-block variant (used for V > 1024 where the RB=128
+    kernel exceeds Mosaic's spill budget) must produce identical results;
+    forced here at a small size via the spill-cap knob."""
+    import smart_crossover_tpu.ops.transport_simplex_mega as mega
+
+    monkeypatch.setattr(mega, "_RB_SPILL_CAP_V", 0)   # always pick RB=64
+    S, D = 24, 40
+    X, Bm, M, s, d = _nw_corner(S, D, 5)
+    Xo, Bmo, piv, opt = mega.transport_simplex_mega(
+        jnp.asarray(X), jnp.asarray(Bm), jnp.asarray(M),
+        max_pivots=4000)
+    assert bool(opt)
+    from smart_crossover_tpu.ops.transport_simplex_anc import (
+        transport_simplex_anc,
+    )
+    Xa, _, _, opta = transport_simplex_anc(
+        jnp.asarray(X), jnp.asarray(Bm), jnp.asarray(M),
+        jnp.asarray(s), jnp.asarray(d), max_pivots=4000)
+    assert bool(opta)
+    np.testing.assert_allclose(float((Xo * M).sum()),
+                               float((Xa * M).sum()), rtol=1e-5)
