@@ -75,9 +75,13 @@ def run_suite(instances, store: ResultStore, barrier_tol: float,
         if not store.is_solved(name, "ori"):
             if lp is None:
                 lp = thunk()
+            # the baseline gets the full 3600 s time budget: the default
+            # 200k pivot cap binds FIRST on hard instances (mcom hit it at
+            # ~1900 s), which would under-report the vendor-analog baseline
             out = solve_lp(lp, method="barrier",
                            settings=SolverSettings(barrierTol=barrier_tol,
-                                                   crossover="on"))
+                                                   crossover="on",
+                                                   simplexMaxIters=10_000_000))
             store.record(name, "ori", status=out.status, runtime=out.runtime,
                          obj_val=out.obj_val, iter_count=out.iter_count,
                          bar_iter_count=out.bar_iter_count)
