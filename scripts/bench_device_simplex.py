@@ -66,6 +66,9 @@ def main():
             if engine == "parent" and n > 512:
                 row["parent"] = None  # quadratic wall (VERDICT r2 weak 2)
                 continue
+            if engine == "mega" and n > 784:
+                row["mega"] = None  # faults the TPU worker at 1024^2 (r5)
+                continue
             fn = lambda: batched_tnet_exact_device(
                 s, d, M, reg=0.005, sinkhorn_iters=1000,
                 max_pivots=20000, engine=engine)

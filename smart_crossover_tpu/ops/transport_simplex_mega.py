@@ -106,14 +106,19 @@ def _mega_kernel(S, D, tol, max_pivots, refresh, RB,
     Xv_s[:, :] = Xv_in[0, :, :].reshape(V, 1)
     pot_s[:, :] = jnp.zeros((V, 1), f32)
 
-    # RUNTIME copies of the (static) block trip counts, read from SMEM: a
-    # concrete bound lets Mosaic fully unroll the scf.for bodies, and at
-    # V=1792 the unrolled pivot loop needs ~119 MB of register spill
-    # slots (measured — compile fails beyond 512^2).  A bound the
-    # compiler cannot constant-fold forces real loops (an x*0 arithmetic
-    # zero gets folded back to a constant and re-unrolled).
-    nbv_t = counts_smem[0]
-    nbs_t = counts_smem[1]
+    # Block trip counts: static (concrete) bounds let Mosaic fully unroll
+    # the scf.for bodies — fast, but the unrolled pivot loop needs ~119 MB
+    # of register spill slots at V=1792 (measured — compile fails beyond
+    # 512^2).  Large V therefore reads the counts from SMEM (a bound the
+    # compiler cannot constant-fold forces real loops; an x*0 arithmetic
+    # zero gets folded back to a constant and re-unrolled) at a measured
+    # ~20x per-pivot serialization cost — the megakernel's documented
+    # large-V disposition (BENCH.md round 5).
+    if RB == 128:
+        nbv_t, nbs_t = NBV, NBS          # static: unrolled, compilable here
+    else:
+        nbv_t = counts_smem[0]
+        nbs_t = counts_smem[1]
 
     tid_sub = jax.lax.broadcasted_iota(jnp.int32, (RB, 1), 0)   # 0..RB-1
     vids_l = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)     # 0..V-1
