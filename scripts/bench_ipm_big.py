@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Single-big-LP barrier head-to-head (VERDICT r4 item 5).
+
+One dense LP (default 5000x15000), solved to 1e-8 two ways:
+
+* ``ipm_big`` — fleet machinery at B=1: f32 device stage carries the bulk
+  Mehrotra iterations (the 750-GFLOP normal-equations GEMM rides the MXU),
+  host f64 endgame pays the exact GEMM only for the last 2-5 steps;
+* host dense Mehrotra (solvers/ipm.py) — pays the f64 GEMM every
+  iteration (the reference's vendor-barrier shape,
+  reference solver_caller/caller.py:181-189).
+
+Usage: python scripts/bench_ipm_big.py [m n] (default 5000 15000)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_lp(m, n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    x0 = rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    l = np.zeros(n)
+    u = np.ones(n)
+    margin = np.abs(rng.standard_normal(n)) * 0.1 + 0.01
+    c = A.T @ rng.standard_normal(m) + margin
+    return A, b, c, l, u
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from smart_crossover_tpu.solvers.ipm import ipm_solve
+    from smart_crossover_tpu.solvers.ipm_fleet import ipm_big
+
+    args = [int(a) for a in sys.argv[1:]]
+    m, n = args if len(args) == 2 else (5000, 15000)
+    backend = jax.default_backend()
+    print(f"backend={backend} {m}x{n} dense", flush=True)
+    A, b, c, l, u = make_lp(m, n)
+
+    # device path (compile + warm), then timed
+    r = ipm_big(A, b, c, l, u, tol=1e-8)
+    warm_s = r.runtime.total_seconds()
+    print(f"ipm_big warmup: {r.status} obj={r.obj_val:.8e} "
+          f"{warm_s:.1f}s ({r.iter_count} iters)", flush=True)
+    t0 = time.perf_counter()
+    r2 = ipm_big(A, b, c, l, u, tol=1e-8)
+    big_s = time.perf_counter() - t0
+    print(f"ipm_big warm: {r2.status} obj={r2.obj_val:.8e} {big_s:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    h = ipm_solve(A, b, c, l, u, tol=1e-8)
+    host_s = time.perf_counter() - t0
+    print(f"host IPM: {h.status} obj={h.obj_val:.8e} {host_s:.1f}s "
+          f"({h.iter_count} iters)", flush=True)
+
+    gap = abs(r2.obj_val - h.obj_val) / (1 + abs(h.obj_val))
+    print(json.dumps({
+        "metric": "ipm_big_speedup_vs_host",
+        "value": round(host_s / big_s, 2),
+        "unit": "x",
+        "detail": {"backend": backend, "m": m, "n": n,
+                   "ipm_big_warm_s": round(big_s, 1),
+                   "ipm_big_first_s": round(warm_s, 1),
+                   "host_s": round(host_s, 1),
+                   "status": [r2.status, h.status],
+                   "rel_obj_gap": float(gap)}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,8 +129,11 @@ def batched_tnet_exact(s, d, M, reg: float = 0.005,
         # the per-pivot (V,V) lifting rounds dominate (>= 256^2, and the
         # only engine worth running at 1024^2 — BENCH.md round 3)
         if mesh is None and on_tpu() and max(Sq, Dq) <= 1024:
-            # round-4 head-to-heads (BENCH.md): parent < 256^2,
-            # anc 256^2..512^2, the packed-bitmask engine from 784^2
+            # round-4/5 head-to-heads (BENCH.md): parent < 256^2,
+            # anc 256^2..512^2, the packed-bitmask engine from 784^2.
+            # The Pallas megakernel ('mega') measured 4-20x SLOWER than
+            # these at every size live (BENCH.md round 5) and stays out
+            # of auto-routing by evidence, not omission.
             if max(Sq, Dq) < 256:
                 engine = "parent"
             elif max(Sq, Dq) <= 512:
