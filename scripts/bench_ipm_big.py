@@ -48,7 +48,7 @@ def main():
     from smart_crossover_tpu.solvers.ipm import ipm_solve
     from smart_crossover_tpu.solvers.ipm_fleet import ipm_big
 
-    args = [int(a) for a in sys.argv[1:]]
+    args = [int(a) for a in sys.argv[1:] if not a.startswith("--")]
     m, n = args if len(args) == 2 else (5000, 15000)
     backend = jax.default_backend()
     print(f"backend={backend} {m}x{n} dense", flush=True)
@@ -62,8 +62,14 @@ def main():
     t0 = time.perf_counter()
     r2 = ipm_big(A, b, c, l, u, tol=1e-8)
     big_s = time.perf_counter() - t0
-    print(f"ipm_big warm: {r2.status} obj={r2.obj_val:.8e} {big_s:.1f}s",
-          flush=True)
+    print(f"ipm_big warm: {r2.status} obj={r2.obj_val:.8e} {big_s:.1f}s "
+          f"(device {r2.device_s:.1f}s/{r2.device_iters}it, "
+          f"endgame {r2.endgame_s:.1f}s/{r2.endgame_iters}it)", flush=True)
+    from smart_crossover_tpu.solvers import ipm_fleet as _fleet
+    if _fleet.last_ne_stats:
+        print("ne_device:", json.dumps(_fleet.last_ne_stats), flush=True)
+    if "--device-only" in sys.argv:
+        return
 
     t0 = time.perf_counter()
     h = ipm_solve(A, b, c, l, u, tol=1e-8)

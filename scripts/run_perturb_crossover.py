@@ -93,7 +93,8 @@ def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
          barrier_tol: float = 1e-10, optimality_tol: float = 1e-6,
          max_instances: int | None = None, generate: str | None = None,
          scale: float = 1.0, num_per_family: int = 4,
-         oracle: bool = False, oracle_time_limit: float = 3600.0):
+         oracle: bool = False, oracle_time_limit: float = 3600.0,
+         reverse: bool = False):
     store = ResultStore(results)
     if generate == "optlp":
         from smart_crossover_tpu.data.lp_gen import optlp_scale_suite
@@ -102,8 +103,12 @@ def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
                                 scale=scale)
         # cheap families first (staircase/multicommodity ori finish in
         # minutes; cover's cold crossover can take ~1h each) so partial
-        # runs maximise instance coverage
-        lps.sort(key=lambda lp: (lp.name.startswith("cover"), lp.name))
+        # runs maximise instance coverage.  --reverse runs the list
+        # back-to-front: a second worker sharing the (re-read-per-check)
+        # ResultStore then works the expensive tail while the first
+        # works the cheap head, meeting in the middle.
+        lps.sort(key=lambda lp: (lp.name.startswith("cover"), lp.name),
+                 reverse=reverse)
         if max_instances:
             lps = lps[:max_instances]
         instances = [(lp.name, (lambda _lp=lp: _lp)) for lp in lps]
@@ -144,7 +149,10 @@ if __name__ == "__main__":
     ap.add_argument("--oracle", action="store_true",
                     help="record scipy-HiGHS objectives per instance")
     ap.add_argument("--oracle-time-limit", type=float, default=3600.0)
+    ap.add_argument("--reverse", action="store_true",
+                    help="process instances in reverse order (second "
+                         "worker sharing the same result store)")
     a = ap.parse_args()
     main(a.data_dir, a.results, a.barrier_tol, a.optimality_tol,
          a.max_instances, a.generate, a.scale, a.num_per_family,
-         a.oracle, a.oracle_time_limit)
+         a.oracle, a.oracle_time_limit, a.reverse)

@@ -27,6 +27,10 @@ import numpy as np
 from smart_crossover_tpu.solvers.ipm import IPMResult, _tp_limits, ipm_solve
 from smart_crossover_tpu.solvers.ipm_batched import ipm_dense_batched
 
+#: telemetry from the most recent single-big-LP device endgame
+#: (solvers/ne_device.py stats dict), None when the exact path ran
+last_ne_stats: dict | None = None
+
 
 def _thread_map(work, B, threads=None):
     """Run ``work(i0, i1)`` over batch chunks on a thread pool, one BLAS
@@ -81,7 +85,8 @@ def _binv(M):
 
 
 def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
-                        tol: float = 1e-8, max_iters: int = 30):
+                        tol: float = 1e-8, max_iters: int = 30,
+                        ne_device=None):
     """Batched f64 Mehrotra endgame on the HOST, vectorised over the fleet.
 
     The device stage hands over a centered interior point per instance at
@@ -174,34 +179,104 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
         # degenerate columns must not make the whole batch singular
         d = 1.0 / np.maximum(zl / p + zu / q, 1e-10)       # (B, n)
         d = np.minimum(d, 1e10)
-        ADA = _bmm(A * d[:, None, :], AT)
-        # PER-INSTANCE regularisation, RELATIVE to the diagonal scale:
-        # with d capped at 1e10 the diagonal reaches ~1e12+, and any reg
-        # proportional to trace/diag-sum is O(1e2..1e3) — large enough
-        # that iterative refinement contracts only by reg/lambda_min per
-        # pass and ~14% of the fleet stalls at 30 iterations (the round-3
-        # Amdahl hole: every straggler pays a full host IPM re-solve).  A
-        # 1e-14-relative shift is below the factorisation's own backward
-        # error and keeps refinement contracting.
-        diag_max = np.einsum("bii->b", np.abs(ADA)) / m \
-            + np.abs(ADA).max(axis=(1, 2))
-        reg = 1e-14 * (1.0 + diag_max)
-        ADA = ADA + reg[:, None, None] * eye
+        # ne_state carries the (lazily formed) exact host factorisation —
+        # when the device-f32 path below handles every solve of this
+        # iteration, the 2 m^2 n GEMM + O(m^3) inverse are never paid
+        ne_state: dict = {}
 
-        # ONE batched inverse per iteration, shared by the predictor,
-        # corrector, and Gondzio solves (np.linalg.solve would refactor
-        # for each, and per-instance scipy cho_factor loops drown in
-        # OpenBLAS per-call sync).  The inverse-apply loses ~cond*eps
-        # digits, so every solve gets iterative-refinement passes —
-        # with f64 eps that contracts as long as cond(ADA) << 1e16.
-        ADAinv = _binv(ADA)
+        def ensure_exact():
+            if "inv" in ne_state or "cho" in ne_state:
+                return
+            ADA = _bmm(A * d[:, None, :], AT)
+            # PER-INSTANCE regularisation, RELATIVE to the diagonal
+            # scale: with d capped at 1e10 the diagonal reaches ~1e12+,
+            # and any reg proportional to trace/diag-sum is O(1e2..1e3)
+            # — large enough that iterative refinement contracts only by
+            # reg/lambda_min per pass and ~14% of the fleet stalls at 30
+            # iterations (the round-3 Amdahl hole: every straggler pays
+            # a full host IPM re-solve).  A 1e-14-relative shift is
+            # below the factorisation's own backward error and keeps
+            # refinement contracting.
+            if "reg" in ne_state:   # fixed by the device path already
+                reg = ne_state["reg"]
+            else:
+                diag_max = np.einsum("bii->b", np.abs(ADA)) / m \
+                    + np.abs(ADA).max(axis=(1, 2))
+                reg = 1e-14 * (1.0 + diag_max)
+            ADA = ADA + reg[:, None, None] * eye
+            # ONE batched inverse per iteration, shared by the
+            # predictor, corrector, and Gondzio solves (np.linalg.solve
+            # would refactor for each, and per-instance scipy cho_factor
+            # loops drown in OpenBLAS per-call sync).  The inverse-apply
+            # loses ~cond*eps digits, so every solve gets
+            # iterative-refinement passes — with f64 eps that contracts
+            # as long as cond(ADA) << 1e16.
+            ne_state["ADA"] = ADA
+            if ADA.shape[0] == 1:
+                # single instance: a Cholesky factor costs m^3/3 flops
+                # vs the inverse's ~2 m^3 and solves just as fast
+                import scipy.linalg as sla
+                try:
+                    ne_state["cho"] = sla.cho_factor(ADA[0])
+                except np.linalg.LinAlgError:
+                    ne_state["inv"] = _binv(ADA)
+            else:
+                ne_state["inv"] = _binv(ADA)
 
-        def batch_solve(rhs):
+        def exact_solve(rhs):
+            ensure_exact()
+            ADA = ne_state["ADA"]
+            if "cho" in ne_state:
+                import scipy.linalg as sla
+                dy_ = sla.cho_solve(ne_state["cho"], rhs[0])[None]
+                for _ in range(2):
+                    r_ = rhs - (ADA @ dy_[..., None])[..., 0]
+                    dy_ = dy_ + sla.cho_solve(ne_state["cho"], r_[0])[None]
+                return dy_
+            ADAinv = ne_state["inv"]
             dy_ = (ADAinv @ rhs[..., None])[..., 0]
             for _ in range(2):
                 r_ = rhs - (ADA @ dy_[..., None])[..., 0]
                 dy_ = dy_ + (ADAinv @ r_[..., None])[..., 0]
             return dy_
+
+        use_dev = ne_device is not None and p.shape[0] == 1
+        if use_dev:
+            try:
+                diag_ne = ne_device.factor(d[0])
+            except FloatingPointError:
+                use_dev = False
+        if use_dev:
+            # for SPD M the largest element sits on the diagonal, so the
+            # diag-based reg equals the exact path's trace/max formula
+            reg1 = 1e-14 * (1.0 + diag_ne.mean() + diag_ne.max())
+            ne_state["reg"] = np.array([reg1])
+            A0, AT0, d0 = A[0], AT[0], d[0]
+            # inexact-Newton forcing term: a Newton direction only needs
+            # accuracy proportional to the residual it is about to
+            # remove — mid-endgame solves at res ~1e-4 are fine at 1e-6
+            # relative, which saves CG iterations AND rescues solves the
+            # f32 preconditioner can't push to 1e-11 (each such rescue
+            # avoids a full exact host GEMM+factor fallback).  The true
+            # KKT residuals are recomputed every iteration, so inexact
+            # directions can never produce a false OPTIMAL.
+            res_now = float(max(pres[0], dres[0], relgap[0]))
+            eta = min(1e-7, max(1e-11, 1e-2 * res_now))
+
+            def ne_matvec(v):
+                return A0 @ (d0 * (AT0 @ v)) + reg1 * v
+
+            def batch_solve(rhs):
+                if ("cho" not in ne_state and "inv" not in ne_state
+                        and not ne_state.get("dev_fail")):
+                    dy_, ok = ne_device.solve(rhs[0], ne_matvec,
+                                              rel_tol=eta)
+                    if ok:
+                        return dy_[None]
+                    ne_state["dev_fail"] = True  # exact fallback from here
+                return exact_solve(rhs)
+        else:
+            batch_solve = exact_solve
 
         def newton(rp, rd, rcl, rcu):
             rhs_x = rd - rcl / p + rcu / q
@@ -320,12 +395,18 @@ def ipm_big(A, b, c, l, u, tol: float = 1e-8,
     import datetime
 
     x, y = res.x[0], res.y[0]
-    return IPMResult(
+    out = IPMResult(
         x=x, y=y, zl=np.zeros_like(x), zu=np.zeros_like(x),
         obj_val=float(res.obj[0]),
         iter_count=int(res.device_iters[0] + res.refine_iters[0]),
         status=res.status[0],
         runtime=datetime.timedelta(seconds=time.perf_counter() - t0))
+    # stage split for benchmarking (scripts/bench_ipm_big.py)
+    out.device_s = res.device_s
+    out.endgame_s = res.endgame_s
+    out.device_iters = int(res.device_iters[0])
+    out.endgame_iters = int(res.refine_iters[0])
+    return out
 
 
 @dataclass
@@ -337,6 +418,8 @@ class FleetResult:
     device_iters: np.ndarray     # (B,) device Mehrotra iterations
     refine_iters: np.ndarray     # (B,) host f64 endgame iterations
     device_converged: np.ndarray  # (B,) bool, device-side tol reached
+    device_s: float = 0.0        # wall seconds in the device bulk stage
+    endgame_s: float = 0.0       # wall seconds in the host f64 endgame
 
 
 def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
@@ -369,6 +452,7 @@ def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
 
     import jax
 
+    t_dev0 = time.perf_counter()
     dev_dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     # f32 handoff sweet spot (measured, scripts/bench_fleet_ipm.py): land
     # at mu ~ 1e-4 centered; driving f32 deeper leaves ~1e-4 primal
@@ -416,6 +500,7 @@ def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
     zu_dev = np.asarray(dev["zu"], dtype=np.float64)
     dev_iters = np.asarray(dev["iters"], dtype=np.int64)
     dev_conv = np.asarray(dev["converged"], dtype=bool)
+    device_s = time.perf_counter() - t_dev0
 
     x_out = x_dev.copy()
     y_out = y_dev.copy()
@@ -424,12 +509,26 @@ def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
     refine_iters = np.zeros(B, dtype=np.int64)
     if not refine:
         return FleetResult(x_out, y_out, obj, status, dev_iters,
-                           refine_iters, dev_conv)
+                           refine_iters, dev_conv, device_s, 0.0)
 
     # batched f64 endgame: one BLAS3 sweep drives the whole fleet to tol
+    t_end0 = time.perf_counter()
+    # single-big-LP endgame assist: keep the f32 NE factor resident on
+    # the device and solve by matrix-free f64 iterative refinement —
+    # skips the 2 m^2 n host GEMM per endgame iteration entirely (see
+    # solvers/ne_device.py; exact host fallback inside on IR stall)
+    ne_dev = None
+    policy = os.environ.get("SCX_DEVICE_ENDGAME", "auto")
+    if B == 1 and policy != "0" and (
+            policy == "1"
+            or (jax.default_backend() != "cpu" and m * n >= 4_000_000)):
+        from smart_crossover_tpu.solvers.ne_device import DeviceNE
+        ne_dev = DeviceNE(A[0])
     x_r, y_r, zl_r, zu_r, conv, refine_iters = ipm_endgame_batched(
         A, b, c, l, u, x_dev, y_dev, zl_dev, zu_dev, tol=tol,
-        max_iters=max_refine_iters)
+        max_iters=max_refine_iters, ne_device=ne_dev)
+    global last_ne_stats            # bench/test telemetry
+    last_ne_stats = dict(ne_dev.stats) if ne_dev is not None else None
     x_out = x_r
     y_out = y_r
     obj = np.einsum("bn,bn->b", c, x_out)
@@ -460,4 +559,5 @@ def ipm_fleet(A, b, c, l, u, tol: float = 1e-8,
             for i in stragglers:
                 one(i)
     return FleetResult(x_out, y_out, obj, status, dev_iters,
-                       refine_iters, dev_conv)
+                       refine_iters, dev_conv, device_s,
+                       time.perf_counter() - t_end0)

@@ -69,3 +69,50 @@ def test_ipm_big_single_large_lp(rng):
     ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
     assert res.obj_val == pytest.approx(ref.fun, abs=1e-7)
     assert np.abs(A @ res.x - b).max() < 1e-8
+
+
+def test_ipm_big_device_endgame(rng, monkeypatch):
+    """Forced device-f32 NE endgame (solvers/ne_device.py): the
+    iteratively-refined mixed-precision solves must reach the same f64
+    KKT contract as the exact host path, and the device factor must
+    actually carry the solves (no exact fallback on a benign LP)."""
+    monkeypatch.setenv("SCX_DEVICE_ENDGAME", "1")
+    import smart_crossover_tpu.solvers.ipm_fleet as fleet_mod
+    from smart_crossover_tpu.solvers.ipm_fleet import ipm_big
+
+    def no_exact(*a, **k):
+        raise AssertionError("exact host NE path reached — device IR "
+                             "solves did not carry the endgame")
+
+    monkeypatch.setattr(fleet_mod, "_bmm", no_exact)
+
+    m, n = 80, 220
+    A = rng.standard_normal((m, n))
+    x0 = rng.uniform(0.2, 0.8, n)
+    b = A @ x0
+    c = rng.standard_normal(n)
+    res = ipm_big(A, b, c, np.zeros(n), np.ones(n), tol=1e-8)
+    assert res.status == "OPTIMAL"
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=[(0, 1)] * n, method="highs")
+    assert res.obj_val == pytest.approx(ref.fun, abs=1e-7)
+    assert np.abs(A @ res.x - b).max() < 1e-8
+
+
+def test_device_ne_solver_refines_to_f64(rng):
+    """DeviceNE in isolation: f32 factor + IR reaches 1e-11 relative
+    residual on an ill-scaled SPD system (d spanning 12 orders)."""
+    from smart_crossover_tpu.solvers.ne_device import DeviceNE
+
+    m, n = 40, 120
+    A = rng.standard_normal((m, n))
+    d = 10.0 ** rng.uniform(-6, 6, n)
+    ne = DeviceNE(A)
+    diag = ne.factor(d)
+    assert diag == pytest.approx(np.einsum("mn,n,mn->m", A, d, A),
+                                 rel=1e-5)
+    reg = 1e-14 * (1.0 + diag.mean() + diag.max())
+    M = (A * d) @ A.T + reg * np.eye(m)
+    rhs = rng.standard_normal(m)
+    dy, ok = ne.solve(rhs, lambda v: M @ v)
+    assert ok
+    assert np.linalg.norm(rhs - M @ dy) <= 1e-10 * np.linalg.norm(rhs)
