@@ -52,14 +52,26 @@ def main():
         batched_tnet_exact_device,
     )
 
-    sizes = [int(a) for a in sys.argv[1:]] or [64, 128, 256]
     B = 16
+    engines = ("mega", "packed", "anc", "parent", "mask")
+    sizes = []
+    skip_host = False
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            B = int(a.split("=", 1)[1])
+        elif a.startswith("--engines="):
+            engines = tuple(a.split("=", 1)[1].split(","))
+        elif a == "--no-host":
+            skip_host = True
+        else:
+            sizes.append(int(a))
+    sizes = sizes or [64, 128, 256]
     backend = jax.default_backend()
     print(f"backend={backend} batch={B}")
     for n in sizes:
         s, d, M = make_batch(B, n, n)
-        row = {"n": n}
-        for engine in ("mega", "packed", "anc", "parent", "mask"):
+        row = {"n": n, "B": B}
+        for engine in engines:
             if engine == "mask" and n > 128:
                 row["mask"] = None  # known-slow; skip (STATUS.md #1)
                 continue
@@ -93,6 +105,9 @@ def main():
                 "max_pivots": int(np.max(np.asarray(piv))),
                 "all_optimal": bool(np.all(np.asarray(opt))),
             }
+        if skip_host:
+            print(row, flush=True)
+            continue
         # host-native cleanup path (threaded C++ core)
         t0 = time.perf_counter()
         hX, hobj, hpiv, hopt = batched_tnet_exact(

@@ -146,6 +146,11 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
 
     conv = np.zeros(B, dtype=bool)
     iters_used = np.zeros(B, dtype=np.int64)
+    # once the f32 preconditioner fails a solve, it stays dead: the KKT
+    # residual (hence the conditioning) only worsens for it from there,
+    # and each doomed retry costs a device factor + a stalled CG before
+    # the exact path runs anyway (~6 s/iteration at 5000x15000)
+    ne_dead = False
     # final-state stores; active-set compaction below slices the working
     # arrays down as instances converge, so finished state is scattered
     # back here by global index
@@ -240,12 +245,13 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
                 dy_ = dy_ + (ADAinv @ r_[..., None])[..., 0]
             return dy_
 
-        use_dev = ne_device is not None and p.shape[0] == 1
+        use_dev = ne_device is not None and p.shape[0] == 1 and not ne_dead
         if use_dev:
             try:
                 diag_ne = ne_device.factor(d[0])
             except FloatingPointError:
                 use_dev = False
+                ne_dead = True
         if use_dev:
             # for SPD M the largest element sits on the diagonal, so the
             # diag-based reg equals the exact path's trace/max formula
@@ -267,13 +273,14 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
                 return A0 @ (d0 * (AT0 @ v)) + reg1 * v
 
             def batch_solve(rhs):
+                nonlocal ne_dead
                 if ("cho" not in ne_state and "inv" not in ne_state
-                        and not ne_state.get("dev_fail")):
+                        and not ne_dead):
                     dy_, ok = ne_device.solve(rhs[0], ne_matvec,
                                               rel_tol=eta)
                     if ok:
                         return dy_[None]
-                    ne_state["dev_fail"] = True  # exact fallback from here
+                    ne_dead = True  # exact path from here on, all iters
                 return exact_solve(rhs)
         else:
             batch_solve = exact_solve
