@@ -52,7 +52,8 @@ def _highs_objective(lp, time_limit=3600.0):
 
 def run_suite(instances, store: ResultStore, barrier_tol: float,
               optimality_tol: float, oracle: bool = False,
-              oracle_time_limit: float = 3600.0):
+              oracle_time_limit: float = 3600.0,
+              time_limit: float = 3600.0):
     """instances: iterable of (name, thunk) where thunk() -> GeneralLP."""
     for name, thunk in instances:
         lp = None
@@ -75,12 +76,13 @@ def run_suite(instances, store: ResultStore, barrier_tol: float,
         if not store.is_solved(name, "ori"):
             if lp is None:
                 lp = thunk()
-            # the baseline gets the full 3600 s time budget: the default
+            # the baseline gets the full time budget: the default
             # 200k pivot cap binds FIRST on hard instances (mcom hit it at
             # ~1900 s), which would under-report the vendor-analog baseline
             out = solve_lp(lp, method="barrier",
                            settings=SolverSettings(barrierTol=barrier_tol,
                                                    crossover="on",
+                                                   timeLimit=time_limit,
                                                    simplexMaxIters=10_000_000))
             store.record(name, "ori", status=out.status, runtime=out.runtime,
                          obj_val=out.obj_val, iter_count=out.iter_count,
@@ -94,13 +96,16 @@ def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
          max_instances: int | None = None, generate: str | None = None,
          scale: float = 1.0, num_per_family: int = 4,
          oracle: bool = False, oracle_time_limit: float = 3600.0,
-         reverse: bool = False):
+         reverse: bool = False, time_limit: float = 3600.0,
+         families: str | None = None):
     store = ResultStore(results)
     if generate == "optlp":
         from smart_crossover_tpu.data.lp_gen import optlp_scale_suite
 
+        fams = tuple(families.split(",")) if families else (
+            "stair", "cover", "mcom", "rail", "tran")
         lps = optlp_scale_suite(num_per_family=num_per_family,
-                                scale=scale)
+                                scale=scale, families=fams)
         # cheap families first (staircase/multicommodity ori finish in
         # minutes; cover's cold crossover can take ~1h each) so partial
         # runs maximise instance coverage.  --reverse runs the list
@@ -126,7 +131,8 @@ def main(data_dir: str = "data/lp", results: str = "results/perturb.jsonl",
         print(f"{len(instances)} LP instances in {data_dir}")
 
     run_suite(instances, store, barrier_tol, optimality_tol,
-              oracle=oracle, oracle_time_limit=oracle_time_limit)
+              oracle=oracle, oracle_time_limit=oracle_time_limit,
+              time_limit=time_limit)
 
     print()
     print(table(summarize(store)))
@@ -152,7 +158,16 @@ if __name__ == "__main__":
     ap.add_argument("--reverse", action="store_true",
                     help="process instances in reverse order (second "
                          "worker sharing the same result store)")
+    ap.add_argument("--time-limit", type=float, default=3600.0,
+                    help="per-arm wall budget for the ori baseline "
+                         "(reference protocol: 3600 s; bounded runs "
+                         "disclose the budget in the table)")
+    ap.add_argument("--families", default=None,
+                    help="comma-separated family subset (stair,cover,"
+                         "mcom,rail,tran) — lets parallel workers "
+                         "partition the suite deterministically")
     a = ap.parse_args()
     main(a.data_dir, a.results, a.barrier_tol, a.optimality_tol,
          a.max_instances, a.generate, a.scale, a.num_per_family,
-         a.oracle, a.oracle_time_limit, a.reverse)
+         a.oracle, a.oracle_time_limit, a.reverse, a.time_limit,
+         a.families)
