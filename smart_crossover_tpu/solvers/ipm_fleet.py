@@ -277,10 +277,15 @@ def ipm_endgame_batched(A, b, c, l, u, x0, y0, zl0, zu0,
                 if ("cho" not in ne_state and "inv" not in ne_state
                         and not ne_dead):
                     dy_, ok = ne_device.solve(rhs[0], ne_matvec,
-                                              rel_tol=eta)
+                                              rel_tol=eta, reg=reg1)
                     if ok:
                         return dy_[None]
-                    ne_dead = True  # exact path from here on, all iters
+                    if not ne_device.f64:
+                        # f32-preconditioner stalls are monotone in mu:
+                        # exact path from here on, all iters.  f64 direct
+                        # failures are per-factor (breakdown at this d),
+                        # so the next iteration may retry.
+                        ne_dead = True
                 return exact_solve(rhs)
         else:
             batch_solve = exact_solve

@@ -36,7 +36,7 @@ class DeviceNE:
         if not ok: <exact host fallback>
     """
 
-    def __init__(self, A: np.ndarray):
+    def __init__(self, A: np.ndarray, use_f64: bool | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -67,8 +67,53 @@ class DeviceNE:
         self._s = None
         # telemetry (read by benches/tests): cumulative counts + seconds
         self.stats = {"factors": 0, "solves": 0, "cg_iters": 0,
-                      "fallbacks": 0, "factor_s": 0.0, "apply_s": 0.0,
-                      "matvec_s": 0.0, "fails": []}
+                      "fallbacks": 0, "f64_direct": 0, "factor_s": 0.0,
+                      "apply_s": 0.0, "matvec_s": 0.0, "fails": []}
+
+        # Native f64 on-device path, probed once per instance.  The TPU
+        # (v5e through the relay) executes NATIVE f64: the 5000x15000 NE
+        # GEMM at 2.2 TF/s (0.34 s) and chol(5000) in 0.46 s, both to
+        # eps_f64 (scripts/probe_tpu_f64.py) — so a direct f64
+        # factor+solve beats the f32-preconditioned CG everywhere it is
+        # available AND has no late-mu stall mode.  The f32+CG scheme
+        # remains the fallback for backends without usable f64.
+        self.f64 = False
+        self._A64 = self._M64 = self._L64 = None
+        self._diag_scale = 1.0
+        if use_f64 is not False:
+            try:
+                # jax>=0.9: jax.enable_x64 is the scoped context manager
+                enable_x64 = getattr(jax, "enable_x64", None)
+                if enable_x64 is None:   # pragma: no cover - old jax
+                    from jax.experimental import enable_x64
+
+                self._x64 = lambda: enable_x64(True)
+                with self._x64():
+                    probe = jax.device_put(np.ones(4, np.float64))
+                    ok = probe.dtype == np.float64 and float(
+                        np.asarray(jnp.dot(probe, probe))) == 4.0
+                self.f64 = bool(ok)
+            except Exception:
+                self.f64 = False
+        if self.f64:
+            def form64(A_, d_):
+                M = jnp.matmul(A_ * d_[None, :], A_.T,
+                               precision=jax.lax.Precision.HIGHEST)
+                return M, jnp.diagonal(M)
+
+            def factor64(M_, reg_):
+                L = jnp.linalg.cholesky(
+                    M_ + reg_ * jnp.eye(M_.shape[0], dtype=M_.dtype))
+                return L, jnp.isfinite(jnp.diagonal(L)).all()
+
+            def solve64(L_, r_):
+                return jax.scipy.linalg.cho_solve((L_, True), r_)
+
+            self._form64 = jax.jit(form64)
+            self._factor64 = jax.jit(factor64)
+            self._solve64 = jax.jit(solve64)
+            with self._x64():
+                self._A64 = jax.device_put(np.asarray(A, np.float64))
 
     def factor(self, d: np.ndarray, ridge: float = 1e-7,
                max_tries: int = 4) -> np.ndarray:
@@ -84,6 +129,21 @@ class DeviceNE:
         """
         import time as _time
         t0 = _time.perf_counter()
+        if self.f64:
+            # form M in f64 and defer the factorization to solve(),
+            # which knows the caller's exact regularization
+            try:
+                with self._x64():
+                    M, diag = self._form64(
+                        self._A64,
+                        self._jax.device_put(np.asarray(d, np.float64)))
+                    self._M64, self._L64 = M, None
+                    out = np.asarray(diag, dtype=np.float64)
+                self._diag_scale = 1.0 + out.mean() + out.max()
+                self.stats["factors"] += 1
+                return out
+            finally:
+                self.stats["factor_s"] += _time.perf_counter() - t0
         d32 = np.asarray(d, dtype=np.float32)
         try:
             for _ in range(max_tries):
@@ -110,9 +170,71 @@ class DeviceNE:
         self.stats["apply_s"] += _time.perf_counter() - t0
         return out
 
+    def _solve_direct64(self, rhs: np.ndarray, matvec, rel_tol: float,
+                        reg: float) -> tuple[np.ndarray, bool]:
+        """Direct f64 device factor+solve (+1 exact-IR pass).
+
+        Factors the resident f64 M with the caller's exact ``reg``; on
+        Cholesky breakdown the shift escalates 30x (relative to the
+        diagonal scale) and the post-IR residual check decides whether
+        the escalated factor still solved the exact system."""
+        import time as _time
+        rhs = np.asarray(rhs, dtype=np.float64)
+        rhs_norm = np.linalg.norm(rhs)
+        if rhs_norm == 0.0:
+            return np.zeros_like(rhs), True
+        self.stats["solves"] += 1
+        self.stats["f64_direct"] += 1
+        with self._x64():
+            if self._L64 is None:
+                t0 = _time.perf_counter()
+                shift, ok = float(reg), False
+                for _ in range(5):
+                    L, okj = self._factor64(self._M64, np.float64(shift))
+                    ok = bool(okj)
+                    if ok:
+                        break
+                    shift = max(shift * 30.0,
+                                1e-14 * self._diag_scale)
+                self.stats["factor_s"] += _time.perf_counter() - t0
+                if not ok:
+                    self.stats["fallbacks"] += 1
+                    self.stats["fails"].append(
+                        {"best_res": float("inf"), "rel_tol": float(rel_tol),
+                         "solve_idx": self.stats["solves"],
+                         "f64_factor_breakdown": True})
+                    return np.zeros_like(rhs), False
+                self._L64 = L
+            t0 = _time.perf_counter()
+            dy = np.asarray(self._solve64(self._L64, rhs),
+                            dtype=np.float64)
+            self.stats["apply_s"] += _time.perf_counter() - t0
+            t_mv = _time.perf_counter()
+            r = rhs - matvec(dy)
+            self.stats["matvec_s"] += _time.perf_counter() - t_mv
+            t0 = _time.perf_counter()
+            dy = dy + np.asarray(self._solve64(self._L64, r),
+                                 dtype=np.float64)
+            self.stats["apply_s"] += _time.perf_counter() - t0
+            t_mv = _time.perf_counter()
+            res = float(np.linalg.norm(rhs - matvec(dy))) / rhs_norm
+            self.stats["matvec_s"] += _time.perf_counter() - t_mv
+        ok = res <= rel_tol
+        if not ok:
+            self.stats["fallbacks"] += 1
+            self.stats["fails"].append(
+                {"best_res": float(res), "rel_tol": float(rel_tol),
+                 "solve_idx": self.stats["solves"]})
+        return dy, ok
+
     def solve(self, rhs: np.ndarray, matvec, rel_tol: float = 1e-11,
-              max_iters: int = 30) -> tuple[np.ndarray, bool]:
-        """Preconditioned-CG solve of (exact f64) M dy = rhs.
+              max_iters: int = 30,
+              reg: float | None = None) -> tuple[np.ndarray, bool]:
+        """Preconditioned-CG solve of (exact f64) M dy = rhs — or, when
+        the backend executes native f64 (``self.f64``), a direct f64
+        device factor+solve (``reg`` then supplies the exact shift the
+        caller folded into ``matvec``; without it the factor runs
+        unshifted and relies on the IR residual check).
 
         ``matvec(v)`` must be the EXACT f64 operator (including any
         regularization term the caller added to M); the resident f32
@@ -126,6 +248,9 @@ class DeviceNE:
         the exact f64 host path.
         """
         import time as _time
+        if self.f64 and self._M64 is not None:
+            return self._solve_direct64(rhs, matvec, rel_tol,
+                                        0.0 if reg is None else reg)
         rhs = np.asarray(rhs, dtype=np.float64)
         rhs_norm = np.linalg.norm(rhs)
         if rhs_norm == 0.0:

@@ -106,7 +106,8 @@ def test_device_ne_solver_refines_to_f64(rng):
     m, n = 40, 120
     A = rng.standard_normal((m, n))
     d = 10.0 ** rng.uniform(-6, 6, n)
-    ne = DeviceNE(A)
+    ne = DeviceNE(A, use_f64=False)   # pin the f32+CG path under test
+    assert not ne.f64
     diag = ne.factor(d)
     assert diag == pytest.approx(np.einsum("mn,n,mn->m", A, d, A),
                                  rel=1e-5)
@@ -116,3 +117,41 @@ def test_device_ne_solver_refines_to_f64(rng):
     dy, ok = ne.solve(rhs, lambda v: M @ v)
     assert ok
     assert np.linalg.norm(rhs - M @ dy) <= 1e-10 * np.linalg.norm(rhs)
+
+
+def test_device_ne_direct_f64_path(rng):
+    """Native-f64 backends (CPU here, the TPU live) factor+solve the
+    exact f64 system directly: eps-level residual in ONE solve, no CG,
+    and the escalated-shift breakdown path is verified by the IR check."""
+    from smart_crossover_tpu.solvers.ne_device import DeviceNE
+
+    m, n = 40, 120
+    A = rng.standard_normal((m, n))
+    d = 10.0 ** rng.uniform(-6, 6, n)
+    ne = DeviceNE(A)
+    assert ne.f64   # conftest runs on CPU with x64 — probe must pass
+    diag = ne.factor(d)
+    assert diag == pytest.approx(np.einsum("mn,n,mn->m", A, d, A),
+                                 rel=1e-12)
+    reg = 1e-14 * (1.0 + diag.mean() + diag.max())
+    M = (A * d) @ A.T + reg * np.eye(m)
+    rhs = rng.standard_normal(m)
+    dy, ok = ne.solve(rhs, lambda v: M @ v, rel_tol=1e-10, reg=reg)
+    assert ok
+    assert ne.stats["f64_direct"] == 1
+    assert ne.stats["cg_iters"] == 0
+    assert np.linalg.norm(rhs - M @ dy) <= 1e-10 * np.linalg.norm(rhs)
+
+    # rank-deficient M (duplicate rows): reg=0 factor may break down;
+    # the escalation + IR check must still deliver the exact solve of
+    # the CALLER's (regularized, hence nonsingular) operator
+    A2 = np.vstack([A, A[:1]])
+    ne2 = DeviceNE(A2)
+    diag2 = ne2.factor(d)
+    reg2 = 1e-14 * (1.0 + diag2.mean() + diag2.max())
+    M2 = (A2 * d) @ A2.T + reg2 * np.eye(m + 1)
+    rhs2 = rng.standard_normal(m + 1)
+    dy2, ok2 = ne2.solve(rhs2, lambda v: M2 @ v, rel_tol=1e-8, reg=reg2)
+    if ok2:   # singular-at-zero-shift factors may legitimately refuse
+        assert (np.linalg.norm(rhs2 - M2 @ dy2)
+                <= 1e-8 * np.linalg.norm(rhs2))
